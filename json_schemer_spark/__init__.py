@@ -1,0 +1,39 @@
+"""json_schemer_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch rebuild of the capabilities of davishmcclurg/json_schemer
+(JSON Schema drafts 4/6/7/2019-09/2020-12) as a compiled-constraint plan
+over Spark DataFrames:
+
+- ``compile_schema(schema)`` — compile a JSON Schema document (driver-side)
+  into a :class:`CompiledSchema` plan.
+- ``CompiledSchema.validate_json_column(df, col)`` — batch-validate a JSON
+  string column; returns verdict + violations columns. Structurally-lowerable
+  schemas run as pure Column expressions (JVM-side, whole-stage codegen);
+  the general case runs as an Arrow-batched ``mapInPandas`` interpreter.
+- Table-level validators (``operators/``): per-column stats, uniqueness,
+  referential anti-joins, distribution drift, dedup, similarity, text ops.
+
+Reference semantics: /root/reference (davishmcclurg/json_schemer). This is
+NOT a port — see SURVEY.md for the mapping.
+"""
+
+from json_schemer_spark.schema.compiler import CompiledSchema, compile_schema
+from json_schemer_spark.schema.dialects import (
+    DRAFT4,
+    DRAFT6,
+    DRAFT7,
+    DRAFT201909,
+    DRAFT202012,
+)
+
+__all__ = [
+    "compile_schema",
+    "CompiledSchema",
+    "DRAFT4",
+    "DRAFT6",
+    "DRAFT7",
+    "DRAFT201909",
+    "DRAFT202012",
+]
+
+__version__ = "0.1.0"

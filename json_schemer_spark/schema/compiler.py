@@ -1,0 +1,168 @@
+"""compile_schema: JSON Schema document → CompiledSchema plan.
+
+The plan is built ONCE on the driver (compile-once/validate-many, the
+reference's core optimization — schema.rb:101,368-408) and then bound to
+DataFrames. Two execution tiers:
+
+1. **Columnar tier** — schemas whose constraints are expressible as pure
+   Column expressions over ``from_json``-parsed structures run entirely
+   JVM-side (whole-stage codegen, no Python in the hot path). See
+   ``json_schemer_spark.schema.columnar``.
+2. **Interpreter tier** — the general case: the Evaluator closure ships to
+   executors inside ONE Arrow-batched ``mapInPandas`` stage (never one UDF
+   per keyword; SURVEY.md §7.3.7).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Optional
+
+from json_schemer_spark.schema.dialects import DEFAULT_DIALECT, Dialect, dialect_for
+from json_schemer_spark.schema.interpreter import Evaluator
+from json_schemer_spark.schema.registry import DEFAULT_BASE_URI, Registry
+
+VIOLATION_FIELDS = "keyword string, instance_pointer string, schema_pointer string, message string"
+VIOLATION_DDL = f"array<struct<{VIOLATION_FIELDS.replace(' string', ': string').replace(', ', ', ')}>>"
+
+
+class CompiledSchema:
+    """A compiled constraint plan for one JSON Schema document."""
+
+    def __init__(
+        self,
+        schema: Any,
+        dialect: Optional[Dialect] = None,
+        ref_resolver: Optional[Callable[[str], Any]] = None,
+        assert_formats: bool = False,
+        base_uri: str = DEFAULT_BASE_URI,
+    ) -> None:
+        if isinstance(schema, str):
+            schema = json.loads(schema)
+        if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
+            dialect = dialect_for(schema["$schema"], dialect or DEFAULT_DIALECT)
+        self.schema = schema
+        self.dialect = dialect or DEFAULT_DIALECT
+        self.assert_formats = assert_formats
+        self._evaluator = Evaluator(
+            schema,
+            base_uri=base_uri,
+            dialect=self.dialect,
+            ref_resolver=ref_resolver,
+            assert_formats=assert_formats,
+        )
+
+    # -- driver-side single-value API (tests / small data) -------------------
+
+    def validate_value(self, instance: Any) -> dict[str, Any]:
+        return self._evaluator.validate(instance)
+
+    def valid_value(self, instance: Any) -> bool:
+        return self._evaluator.valid(instance)
+
+    # -- Spark API ------------------------------------------------------------
+
+    def is_lowerable(self) -> bool:
+        """True when the whole plan lowers to pure Column expressions."""
+        from json_schemer_spark.schema.columnar import lowerable
+
+        return lowerable(self.schema, self.dialect)
+
+    def validate_json_column(self, df, content_col: str, *, force_interpreter: bool = False):
+        """Validate a JSON-string column → df + ``valid`` + ``violations``.
+
+        Returns a DataFrame with two added columns:
+        - ``valid: boolean``
+        - ``violations: array<struct<keyword, instance_pointer, schema_pointer, message>>``
+        """
+        if not force_interpreter and self.is_lowerable():
+            from json_schemer_spark.schema.columnar import validate_json_column_lowered
+
+            return validate_json_column_lowered(df, content_col, self.schema, self.dialect)
+        return self._validate_with_interpreter(df, content_col)
+
+    def _validate_with_interpreter(self, df, content_col: str):
+        """General path: ONE mapInPandas stage running the compiled Evaluator.
+
+        The Evaluator is constructed per-executor-process from the schema
+        document (cheap, memoized) rather than pickling live regex/registry
+        state.
+        """
+        import pandas as pd
+
+        schema_json = json.dumps(self.schema)
+        dialect_name = self.dialect.name
+        assert_formats = self.assert_formats
+        out_ddl = df.schema.simpleString()  # not used; keep explicit below
+
+        result_schema = _append_fields(df.schema)
+
+        def run(batches):
+            from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
+            from json_schemer_spark.schema.interpreter import Evaluator as _Ev
+
+            ev = _Ev(
+                json.loads(schema_json),
+                dialect=DIALECTS_BY_NAME[dialect_name],
+                assert_formats=assert_formats,
+            )
+            for pdf in batches:
+                contents = pdf[content_col]
+                valids = []
+                violations = []
+                for raw in contents:
+                    try:
+                        value = json.loads(raw) if raw is not None else None
+                    except (ValueError, TypeError):
+                        valids.append(False)
+                        violations.append(
+                            [{"keyword": "$parse", "instance_pointer": "",
+                              "schema_pointer": "", "message": "content is not valid JSON"}]
+                        )
+                        continue
+                    res = ev.validate(value)
+                    valids.append(res["valid"])
+                    violations.append(res["errors"])
+                out = pdf.copy()
+                out["valid"] = pd.Series(valids, index=pdf.index, dtype="bool")
+                out["violations"] = pd.Series(violations, index=pdf.index, dtype="object")
+                yield out
+
+        return df.mapInPandas(run, schema=result_schema)
+
+
+def _append_fields(schema):
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    violation_struct = StructType(
+        [
+            StructField("keyword", StringType()),
+            StructField("instance_pointer", StringType()),
+            StructField("schema_pointer", StringType()),
+            StructField("message", StringType()),
+        ]
+    )
+    return StructType(
+        list(schema.fields)
+        + [
+            StructField("valid", BooleanType()),
+            StructField("violations", ArrayType(violation_struct)),
+        ]
+    )
+
+
+def compile_schema(
+    schema: Any,
+    dialect: Optional[Dialect] = None,
+    ref_resolver: Optional[Callable[[str], Any]] = None,
+    assert_formats: bool = False,
+) -> CompiledSchema:
+    return CompiledSchema(
+        schema, dialect=dialect, ref_resolver=ref_resolver, assert_formats=assert_formats
+    )

@@ -1,0 +1,558 @@
+"""Batch-oriented JSON Schema evaluator (drafts 4/6/7/2019-09/2020-12).
+
+This is the engine's *general-case* evaluation path: a from-scratch
+re-implementation of the keyword semantics catalogued in SURVEY.md §2
+(reference: lib/json_schemer/draft202012/vocab/{validation,applicator,core,
+unevaluated}.rb and the per-draft deltas). It runs driver-side for schema
+compilation/tests and executor-side inside Arrow-batched ``mapInPandas``
+stages for schemas that cannot be lowered to pure Column expressions.
+
+Design notes (NOT a port):
+- One :class:`Evaluator` per compiled schema; reused across every row of a
+  batch (compile-once/validate-many, the reference's core optimization —
+  schema.rb:101,368-408).
+- Results carry evaluated-property/evaluated-item annotation sets so
+  ``unevaluatedProperties``/``unevaluatedItems`` (SURVEY.md §2.6) compose
+  with in-place applicators; annotations merge only from *valid* child
+  applications.
+- Violations are flat rows ``(keyword, instance_pointer, schema_pointer,
+  message)`` — the "classic" output shape (result.rb:162-179 equivalent).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional
+
+from json_schemer_spark.schema.dialects import DEFAULT_DIALECT, Dialect
+from json_schemer_spark.schema.jsonvalue import (
+    is_json_integer,
+    is_json_number,
+    is_multiple_of,
+    join_pointer,
+    json_equal,
+    json_type,
+    unique_items,
+)
+from json_schemer_spark.schema.registry import (
+    DEFAULT_BASE_URI,
+    Registry,
+    Resource,
+    split_fragment,
+)
+
+
+class SchemaCompileError(ValueError):
+    pass
+
+
+class _Result:
+    __slots__ = ("valid", "errors", "props", "items")
+
+    def __init__(self, valid: bool, errors: Optional[list], props: Optional[set], items: Optional[set]):
+        self.valid = valid
+        self.errors = errors
+        self.props = props
+        self.items = items
+
+
+_VALID = _Result(True, None, None, None)
+
+
+class Evaluator:
+    """Compiled evaluator for one root schema (+ its reachable resources)."""
+
+    def __init__(
+        self,
+        root_schema: Any,
+        registry: Optional[Registry] = None,
+        base_uri: str = DEFAULT_BASE_URI,
+        dialect: Optional[Dialect] = None,
+        ref_resolver: Optional[Callable[[str], Any]] = None,
+        assert_formats: bool = False,
+        formats: Optional[dict[str, Callable[[Any, Any], bool]]] = None,
+    ) -> None:
+        if not isinstance(root_schema, (dict, bool)):
+            raise SchemaCompileError(f"schema must be an object or boolean, got {type(root_schema)}")
+        self.registry = registry or Registry(ref_resolver=ref_resolver, default_dialect=dialect or DEFAULT_DIALECT)
+        if self.registry.info(root_schema) is None:
+            self.root_resource = self.registry.add_document(root_schema, base_uri=base_uri, dialect=dialect)
+        else:
+            self.root_resource = self.registry.info(root_schema).resource
+        self.root = root_schema
+        self.assert_formats = assert_formats
+        self.formats = formats or {}
+        self._regex_cache: dict[str, Any] = {}
+
+    # -- public API -------------------------------------------------------
+
+    def validate(self, instance: Any) -> dict[str, Any]:
+        """Full validation → {'valid': bool, 'errors': [violation rows]}."""
+        scope = [self.root_resource]
+        try:
+            r = self._eval(self.root, instance, "", "", scope, self.root_resource.dialect)
+        except RecursionError:
+            return {
+                "valid": False,
+                "errors": [
+                    {"keyword": "$ref", "instance_pointer": "", "schema_pointer": "",
+                     "message": "recursion limit exceeded (cyclic schema on self-similar data)"}
+                ],
+            }
+        errors = [
+            {"keyword": k, "instance_pointer": ip, "schema_pointer": sp, "message": m}
+            for (k, ip, sp, m) in (r.errors or [])
+        ]
+        return {"valid": r.valid, "errors": errors}
+
+    def valid(self, instance: Any) -> bool:
+        return self.validate(instance)["valid"]
+
+    # -- internals ----------------------------------------------------------
+
+    def _regex(self, pattern: str):
+        rx = self._regex_cache.get(pattern)
+        if rx is None:
+            rx = re.compile(pattern)
+            self._regex_cache[pattern] = rx
+        return rx
+
+    def _eval(
+        self,
+        schema: Any,
+        instance: Any,
+        ipath: str,
+        spath: str,
+        scope: list[Resource],
+        dialect: Dialect,
+    ) -> _Result:
+        if schema is True or (isinstance(schema, dict) and not schema):
+            return _VALID
+        if schema is False:
+            return _Result(False, [("schema", ipath, spath, "false schema disallows everything")], None, None)
+        if not isinstance(schema, dict):
+            raise SchemaCompileError(f"invalid schema at {spath!r}: {type(schema)}")
+
+        info = self.registry.info(schema)
+        pushed = False
+        if info is not None:
+            dialect = info.dialect
+            base_uri = info.base_uri
+            if info.resource is not scope[-1]:
+                scope.append(info.resource)
+                pushed = True
+        else:
+            base_uri = scope[-1].uri
+
+        try:
+            return self._eval_object(schema, instance, ipath, spath, scope, dialect, base_uri)
+        finally:
+            if pushed:
+                scope.pop()
+
+    def _eval_object(
+        self,
+        schema: dict,
+        instance: Any,
+        ipath: str,
+        spath: str,
+        scope: list[Resource],
+        dialect: Dialect,
+        base_uri: str,
+    ) -> _Result:
+        errors: list = []
+        props: set = set()
+        items: set = set()
+
+        def merge(r: _Result, assert_: bool = True) -> bool:
+            """Fold a child result in; annotations only from valid children."""
+            nonlocal errors
+            if r.valid:
+                if r.props:
+                    props.update(r.props)
+                if r.items:
+                    items.update(r.items)
+            elif assert_:
+                if r.errors:
+                    errors.extend(r.errors)
+            return r.valid
+
+        valid = True
+
+        def fail(keyword: str, message: str, at: str = None) -> None:
+            nonlocal valid
+            valid = False
+            errors.append((keyword, at if at is not None else ipath, f"{spath}/{keyword}", message))
+
+        # --- referencing -------------------------------------------------
+        ref = schema.get("$ref")
+        if isinstance(ref, str):
+            try:
+                target, _res = self.registry.resolve_ref(ref, base_uri)
+            except (KeyError, IndexError, TypeError) as exc:
+                raise SchemaCompileError(f"unresolvable $ref {ref!r}: {exc}") from exc
+            r = self._eval(target, instance, ipath, f"{spath}/$ref", scope, dialect)
+            if not merge(r):
+                valid = False
+            if dialect.exclusive_ref:
+                # drafts 4-7: $ref replaces all sibling keywords
+                return _Result(valid, errors or None, props or None, items or None)
+
+        dref = schema.get("$dynamicRef")
+        if dialect.has_dynamic_ref and isinstance(dref, str):
+            r = self._eval_dynamic_ref(dref, instance, ipath, spath, scope, dialect, base_uri)
+            if not merge(r):
+                valid = False
+
+        rref = schema.get("$recursiveRef")
+        if dialect.has_recursive_ref and isinstance(rref, str):
+            r = self._eval_recursive_ref(instance, ipath, spath, scope, dialect, base_uri)
+            if not merge(r):
+                valid = False
+
+        # --- type / enum / const -----------------------------------------
+        v_on = dialect.vocab_enabled("validation")
+
+        ty = schema.get("type") if v_on else None
+        if ty is not None:
+            allowed = ty if isinstance(ty, list) else [ty]
+            if not any(self._type_ok(instance, t, dialect) for t in allowed):
+                fail("type", f"expected {ty}, got {json_type(instance)}")
+
+        if v_on and "enum" in schema:
+            if not any(json_equal(instance, v) for v in schema["enum"]):
+                fail("enum", "value not in enumeration")
+
+        if v_on and dialect.has_const and "const" in schema:
+            if not json_equal(instance, schema["const"]):
+                fail("const", "value does not equal const")
+
+        # --- numbers -------------------------------------------------------
+        if is_json_number(instance) and v_on:
+            if "multipleOf" in schema and not is_multiple_of(instance, schema["multipleOf"]):
+                fail("multipleOf", f"not a multiple of {schema['multipleOf']}")
+            maximum = schema.get("maximum")
+            if is_json_number(maximum):
+                excl = dialect.boolean_exclusive_bounds and schema.get("exclusiveMaximum") is True
+                if (instance >= maximum) if excl else (instance > maximum):
+                    fail("exclusiveMaximum" if excl else "maximum",
+                         f"{instance} above {'exclusive ' if excl else ''}maximum {maximum}")
+            minimum = schema.get("minimum")
+            if is_json_number(minimum):
+                excl = dialect.boolean_exclusive_bounds and schema.get("exclusiveMinimum") is True
+                if (instance <= minimum) if excl else (instance < minimum):
+                    fail("exclusiveMinimum" if excl else "minimum",
+                         f"{instance} below {'exclusive ' if excl else ''}minimum {minimum}")
+            if not dialect.boolean_exclusive_bounds:
+                exmax = schema.get("exclusiveMaximum")
+                if is_json_number(exmax) and instance >= exmax:
+                    fail("exclusiveMaximum", f"{instance} not < {exmax}")
+                exmin = schema.get("exclusiveMinimum")
+                if is_json_number(exmin) and instance <= exmin:
+                    fail("exclusiveMinimum", f"{instance} not > {exmin}")
+
+        # --- strings -------------------------------------------------------
+        elif isinstance(instance, str):
+            if v_on and "maxLength" in schema and len(instance) > schema["maxLength"]:
+                fail("maxLength", f"length {len(instance)} > {schema['maxLength']}")
+            if v_on and "minLength" in schema and len(instance) < schema["minLength"]:
+                fail("minLength", f"length {len(instance)} < {schema['minLength']}")
+            if v_on and "pattern" in schema and not self._regex(schema["pattern"]).search(instance):
+                fail("pattern", f"does not match pattern {schema['pattern']!r}")
+            if self.assert_formats and "format" in schema:
+                fmt = schema["format"]
+                checker = self.formats.get(fmt)
+                if checker is not None and not checker(instance, fmt):
+                    fail("format", f"not a valid {fmt}")
+
+        # --- arrays ---------------------------------------------------------
+        elif isinstance(instance, list):
+            n = len(instance)
+            if v_on and "maxItems" in schema and n > schema["maxItems"]:
+                fail("maxItems", f"{n} items > {schema['maxItems']}")
+            if v_on and "minItems" in schema and n < schema["minItems"]:
+                fail("minItems", f"{n} items < {schema['minItems']}")
+            if v_on and schema.get("uniqueItems") is True and not unique_items(instance):
+                fail("uniqueItems", "array items are not unique")
+
+            if dialect.has_prefix_items:
+                prefix = schema.get("prefixItems")
+                plen = 0
+                if isinstance(prefix, list):
+                    plen = len(prefix)
+                    for i, sub in enumerate(prefix[:n]):
+                        r = self._eval(sub, instance[i], f"{ipath}/{i}",
+                                       f"{spath}/prefixItems/{i}", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        items.add(i)
+                it = schema.get("items")
+                if it is not None and plen < n:
+                    for i in range(plen, n):
+                        r = self._eval(it, instance[i], f"{ipath}/{i}", f"{spath}/items", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        items.add(i)
+            elif dialect.array_form_items:
+                it = schema.get("items")
+                if isinstance(it, list):
+                    for i, sub in enumerate(it[:n]):
+                        r = self._eval(sub, instance[i], f"{ipath}/{i}", f"{spath}/items/{i}", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        items.add(i)
+                    add = schema.get("additionalItems")
+                    if add is not None and n > len(it):
+                        for i in range(len(it), n):
+                            r = self._eval(add, instance[i], f"{ipath}/{i}",
+                                           f"{spath}/additionalItems", scope, dialect)
+                            if not merge(r):
+                                valid = False
+                            items.add(i)
+                elif it is not None:
+                    for i in range(n):
+                        r = self._eval(it, instance[i], f"{ipath}/{i}", f"{spath}/items", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        items.add(i)
+
+            if dialect.has_contains and "contains" in schema:
+                sub = schema["contains"]
+                matched = [
+                    i for i in range(n)
+                    if self._eval(sub, instance[i], f"{ipath}/{i}", f"{spath}/contains", scope, dialect).valid
+                ]
+                min_c = schema.get("minContains", 1) if dialect.has_min_max_contains else 1
+                max_c = schema.get("maxContains") if dialect.has_min_max_contains else None
+                if len(matched) < min_c:
+                    fail("contains" if min_c == 1 else "minContains",
+                         f"{len(matched)} items match contains, need >= {min_c}")
+                if max_c is not None and len(matched) > max_c:
+                    fail("maxContains", f"{len(matched)} items match contains, need <= {max_c}")
+                items.update(matched)
+
+        # --- objects ----------------------------------------------------------
+        elif isinstance(instance, dict):
+            n = len(instance)
+            if v_on and "maxProperties" in schema and n > schema["maxProperties"]:
+                fail("maxProperties", f"{n} properties > {schema['maxProperties']}")
+            if v_on and "minProperties" in schema and n < schema["minProperties"]:
+                fail("minProperties", f"{n} properties < {schema['minProperties']}")
+            req = schema.get("required") if v_on else None
+            if isinstance(req, list):
+                missing = [k for k in req if k not in instance]
+                if missing:
+                    fail("required", f"missing required properties: {missing}")
+
+            dep_req = None
+            if v_on and dialect.has_dependent_keywords:
+                dep_req = schema.get("dependentRequired")
+            if isinstance(dep_req, dict):
+                for key, needs in dep_req.items():
+                    if key in instance:
+                        missing = [k for k in needs if k not in instance]
+                        if missing:
+                            fail("dependentRequired", f"{key!r} present but missing {missing}")
+
+            properties = schema.get("properties")
+            matched_keys: set = set()
+            if isinstance(properties, dict):
+                for k, sub in properties.items():
+                    if k in instance:
+                        r = self._eval(sub, instance[k], join_pointer(ipath, k),
+                                       f"{spath}/properties/{_esc(k)}", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        matched_keys.add(k)
+
+            pattern_props = schema.get("patternProperties")
+            if isinstance(pattern_props, dict):
+                for pattern, sub in pattern_props.items():
+                    rx = self._regex(pattern)
+                    for k in instance:
+                        if rx.search(k):
+                            r = self._eval(sub, instance[k], join_pointer(ipath, k),
+                                           f"{spath}/patternProperties/{_esc(pattern)}", scope, dialect)
+                            if not merge(r):
+                                valid = False
+                            matched_keys.add(k)
+
+            props.update(matched_keys)
+
+            if "additionalProperties" in schema:
+                sub = schema["additionalProperties"]
+                for k in instance:
+                    if k not in matched_keys:
+                        r = self._eval(sub, instance[k], join_pointer(ipath, k),
+                                       f"{spath}/additionalProperties", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        props.add(k)
+
+            if dialect.has_property_names and "propertyNames" in schema:
+                sub = schema["propertyNames"]
+                for k in instance:
+                    r = self._eval(sub, k, join_pointer(ipath, k),
+                                   f"{spath}/propertyNames", scope, dialect)
+                    if not merge(r):
+                        valid = False
+
+            deps = schema.get("dependencies") if dialect.has_legacy_dependencies else None
+            if isinstance(deps, dict):
+                for key, dep in deps.items():
+                    if key in instance:
+                        if isinstance(dep, list):
+                            missing = [k for k in dep if k not in instance]
+                            if missing:
+                                fail("dependencies", f"{key!r} present but missing {missing}")
+                        else:
+                            r = self._eval(dep, instance, ipath,
+                                           f"{spath}/dependencies/{_esc(key)}", scope, dialect)
+                            if not merge(r):
+                                valid = False
+
+            dep_schemas = schema.get("dependentSchemas") if dialect.has_dependent_keywords else None
+            if isinstance(dep_schemas, dict):
+                for key, sub in dep_schemas.items():
+                    if key in instance:
+                        r = self._eval(sub, instance, ipath,
+                                       f"{spath}/dependentSchemas/{_esc(key)}", scope, dialect)
+                        if not merge(r):
+                            valid = False
+
+        # --- in-place applicators (all instance types) -------------------------
+        all_of = schema.get("allOf")
+        if isinstance(all_of, list):
+            for i, sub in enumerate(all_of):
+                r = self._eval(sub, instance, ipath, f"{spath}/allOf/{i}", scope, dialect)
+                if not merge(r):
+                    valid = False
+
+        any_of = schema.get("anyOf")
+        if isinstance(any_of, list):
+            results = [
+                self._eval(sub, instance, ipath, f"{spath}/anyOf/{i}", scope, dialect)
+                for i, sub in enumerate(any_of)
+            ]
+            if any(r.valid for r in results):
+                for r in results:
+                    merge(r, assert_=False)
+            else:
+                valid = False
+                for r in results:
+                    if r.errors:
+                        errors.extend(r.errors)
+                errors.append(("anyOf", ipath, f"{spath}/anyOf", "no subschema matched"))
+
+        one_of = schema.get("oneOf")
+        if isinstance(one_of, list):
+            results = [
+                self._eval(sub, instance, ipath, f"{spath}/oneOf/{i}", scope, dialect)
+                for i, sub in enumerate(one_of)
+            ]
+            n_valid = sum(1 for r in results if r.valid)
+            if n_valid == 1:
+                for r in results:
+                    merge(r, assert_=False)
+            else:
+                valid = False
+                if n_valid == 0:
+                    for r in results:
+                        if r.errors:
+                            errors.extend(r.errors)
+                errors.append(("oneOf", ipath, f"{spath}/oneOf",
+                               f"{n_valid} subschemas matched, need exactly 1"))
+
+        if "not" in schema:
+            r = self._eval(schema["not"], instance, ipath, f"{spath}/not", scope, dialect)
+            if r.valid:
+                fail("not", "instance matched 'not' subschema")
+
+        if dialect.has_if_then_else and "if" in schema:
+            r_if = self._eval(schema["if"], instance, ipath, f"{spath}/if", scope, dialect)
+            if r_if.valid:
+                merge(r_if, assert_=False)
+                if "then" in schema:
+                    r = self._eval(schema["then"], instance, ipath, f"{spath}/then", scope, dialect)
+                    if not merge(r):
+                        valid = False
+            else:
+                if "else" in schema:
+                    r = self._eval(schema["else"], instance, ipath, f"{spath}/else", scope, dialect)
+                    if not merge(r):
+                        valid = False
+
+        # --- unevaluated* (consume annotations; must run last — §2.6) -----------
+        if dialect.has_unevaluated:
+            if "unevaluatedProperties" in schema and isinstance(instance, dict):
+                sub = schema["unevaluatedProperties"]
+                for k in instance:
+                    if k not in props:
+                        r = self._eval(sub, instance[k], join_pointer(ipath, k),
+                                       f"{spath}/unevaluatedProperties", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        props.add(k)
+            if "unevaluatedItems" in schema and isinstance(instance, list):
+                sub = schema["unevaluatedItems"]
+                for i in range(len(instance)):
+                    if i not in items:
+                        r = self._eval(sub, instance[i], f"{ipath}/{i}",
+                                       f"{spath}/unevaluatedItems", scope, dialect)
+                        if not merge(r):
+                            valid = False
+                        items.add(i)
+
+        return _Result(valid, errors or None, props or None, items or None)
+
+    # -- dynamic / recursive refs -----------------------------------------------
+
+    def _eval_dynamic_ref(
+        self, ref: str, instance: Any, ipath: str, spath: str,
+        scope: list[Resource], dialect: Dialect, base_uri: str,
+    ) -> _Result:
+        target, tres = self.registry.resolve_ref(ref, base_uri)
+        frag = split_fragment(ref)[1]
+        if frag and not frag.startswith("/") and frag in tres.dynamic_anchors:
+            for res in scope:  # outermost-first
+                if frag in res.dynamic_anchors:
+                    target = res.dynamic_anchors[frag]
+                    break
+        return self._eval(target, instance, ipath, f"{spath}/$dynamicRef", scope, dialect)
+
+    def _eval_recursive_ref(
+        self, instance: Any, ipath: str, spath: str,
+        scope: list[Resource], dialect: Dialect, base_uri: str,
+    ) -> _Result:
+        current = scope[-1]
+        target = current.root
+        if current.recursive_anchor:
+            for res in scope:  # outermost-first
+                if res.recursive_anchor:
+                    target = res.root
+                    break
+        return self._eval(target, instance, ipath, f"{spath}/$recursiveRef", scope, dialect)
+
+    # -- type dispatch ----------------------------------------------------------
+
+    @staticmethod
+    def _type_ok(instance: Any, t: str, dialect: Dialect) -> bool:
+        if t == "integer":
+            return is_json_integer(instance, strict=dialect.strict_integer)
+        if t == "number":
+            return is_json_number(instance)
+        if t == "string":
+            return isinstance(instance, str)
+        if t == "boolean":
+            return isinstance(instance, bool)
+        if t == "null":
+            return instance is None
+        if t == "array":
+            return isinstance(instance, list)
+        if t == "object":
+            return isinstance(instance, dict)
+        return False
+
+
+def _esc(token: str) -> str:
+    return token.replace("~", "~0").replace("/", "~1")
