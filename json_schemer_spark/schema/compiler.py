@@ -39,18 +39,17 @@ class CompiledSchema:
     ) -> None:
         if isinstance(schema, str):
             schema = json.loads(schema)
-        if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
-            dialect = dialect_for(schema["$schema"], dialect or DEFAULT_DIALECT)
         self.schema = schema
-        self.dialect = dialect or DEFAULT_DIALECT
         self.assert_formats = assert_formats
         self._evaluator = Evaluator(
             schema,
             base_uri=base_uri,
-            dialect=self.dialect,
+            dialect=dialect or DEFAULT_DIALECT,
             ref_resolver=ref_resolver,
             assert_formats=assert_formats,
         )
+        # registry-derived: honors $schema dispatch incl. custom $vocabulary
+        self.dialect = self._evaluator.root_resource.dialect
 
     # -- driver-side single-value API (tests / small data) -------------------
 
