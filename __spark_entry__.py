@@ -1,38 +1,523 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship JSON-schema validation over events.props at
+sf0.001. ``queries()`` — one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+Column names and value rounding are aligned pairwise so the driver's
+order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+SF0001 = "/root/testdata/sf0.001"
+
+# schema validated against events.props (JSON column) — exercises the
+# columnar (pure-Column, variant-based) tier end to end
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 80}},
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate events.props, violations rolled up by keyword."""
+    return q12_json_props_validate(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# queries with DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg — partial+final hash aggregation, single shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level constraint violations (classic output) on lineitem."""
+    from json_schemer_spark.operators.table_constraints import TableConstraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    tc = TableConstraints(
+        {
+            "properties": {
+                "l_discount": {"minimum": 0.02},
+                "l_quantity": {"maximum": 30},
+                "l_returnflag": {"enum": ["A", "N"]},
+            }
+        }
+    )
+    return tc.violations_flat(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "keyword"
+    )
+
+
+def q03_enum_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("in_enum", F.col("o_orderstatus").isin("O", "F"))
+    )
+
+
+def q04_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counts + exact distinct counts in ONE pass."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+            )
+        )
+    return (
+        _explode_structs(orders.agg(F.array(*aggs).alias("a")), ["column", "n_nulls", "n_distinct"])
+    )
+
+
+def _explode_structs(df1: DataFrame, fields: list[str]) -> DataFrame:
+    return df1.select(F.explode("a").alias("s")).select(*[F.col(f"s.{f}").alias(f) for f in fields])
+
+
+def q05_minmax_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.round(F.min(c), 4).alias("min_value"),
+            F.round(F.max(c), 4).alias("max_value"),
+        )
+        for c in cols
+    ]
+    return _explode_structs(li.agg(F.array(*aggs).alias("a")), ["column", "min_value", "max_value"])
+
+
+def q06_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-anti join (SURVEY.md §2.3 $ref → existence check).
+
+    The dimension is deliberately thinned (c_custkey % 7 != 0) so orphans
+    exist at every scale factor.
+    """
+    from json_schemer_spark.operators.referential import dangling_references
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    bad = dangling_references(orders, customer, {"o_custkey": "c_custkey"})
+    return bad.select("o_orderkey", "o_custkey")
+
+
+def q07_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level uniqueness (groupBy-count-filter, AQE-coalesced)."""
+    from json_schemer_spark.operators.uniqueness import duplicate_keys
+
+    part = _t(spark, sf_dir, "part")
+    return duplicate_keys(part, ["p_brand", "p_size"])
+
+
+def q08_multipleof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal modulo (multipleOf semantics, validation.rb:85-93)."""
+    li = _t(spark, sf_dir, "lineitem")
+    divisible = (F.col("l_quantity").cast("decimal(38,12)") % F.lit(5).cast("decimal(38,12)")) == 0
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(divisible.cast("long")).alias("n_multiple_of_5"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+def q09_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.stats import length_histogram
+
+    customer = _t(spark, sf_dir, "customer")
+    return length_histogram(customer, "c_name").withColumnRenamed("count", "n")
+
+
+def q10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.stats import value_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        value_histogram(orders, "o_totalprice", n_buckets=20, lo=0.0, hi=600000.0)
+        .select("bucket", F.round("lo", 2).alias("lo"), F.round("hi", 2).alias("hi"), F.col("count").alias("n"))
+    )
+
+
+def q11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift per group vs global (north_star check)."""
+    from json_schemer_spark.operators.drift import psi
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = psi(li, "l_extendedprice", ["l_returnflag"], n_buckets=10, lo=0.0, hi=120000.0)
+    return out.select("l_returnflag", F.round("psi", 6).alias("psi"))
+
+
+def q12_json_props_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Schema validation of events.props via the columnar tier →
+    violation counts by keyword (+ __valid__ row for total passes)."""
+    from json_schemer_spark import compile_schema
+
+    events = _t(spark, sf_dir, "events")
+    plan = compile_schema(PROPS_SCHEMA)
+    out = plan.validate_json_column(events, "props")
+    kw = (
+        out.select(F.explode("violations").alias("v"))
+        .groupBy(F.col("v.keyword").alias("keyword"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = out.agg(
+        F.sum(F.col("valid").cast("long")).alias("n")
+    ).select(F.lit("__valid__").alias("keyword"), "n")
+    return kw.unionByName(totals)
+
+
+def q13_doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash parity (the per-row sha256 invariant, input_hint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hash"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hash"),
+    )
+
+
+def q14_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (broadcast queries, window rank)."""
+    from json_schemer_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id", "rank")
+
+
+def q15_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q16_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only check): LSH/simhash/fingerprints/KS/corpus
+# ---------------------------------------------------------------------------
+
+def q17_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+def q18_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "text", "doc_id")
+    return (
+        jaccard_pairs(docs, cand, "text", "doc_id")
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q19_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+
+
+def q20_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.text import fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprints(docs, "text", "doc_id")
+
+
+def q21_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic per group via applyInPandas (grouped-map pandas UDF)."""
+    from json_schemer_spark.operators.drift import ks_per_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ks_per_group(
+        li, "l_quantity", ["l_returnflag"],
+        [0.0, 0.25, 0.5, 0.75, 1.0], [1.0, 13.0, 26.0, 38.0, 50.0],
+    )
+    return out.select("l_returnflag", F.round("ks", 6).alias("ks"), "n")
+
+
+def q22_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus validation: synthetic (repo,path,commit,lang,content)
+    table → per-repo verdict rollup. All-JVM columnar tier."""
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA, generate_corpus
+
+    corpus = generate_corpus(spark, 50_000)
+    plan = compile_schema(FLAGSHIP_SCHEMA)
+    out = plan.validate_json_column(corpus, "content")
+    return (
+        out.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum((~F.col("valid")).cast("long")).alias("failed"),
+        )
+    )
+
+
+def q23_corpus_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule repo→commit existence anti-join on the synthetic corpus."""
+    from json_schemer_spark.operators.referential import dangling_references
+    from json_schemer_spark.sources.corpus import generate_commits_dim, generate_corpus
+
+    corpus = generate_corpus(spark, 50_000)
+    dim = generate_commits_dim(spark)
+    bad = dangling_references(corpus, dim, ["repo", "commit"])
+    return bad.groupBy("repo").agg(F.count(F.lit(1)).alias("n_dangling"))
+
+
+def q24_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select("doc_id", "n_tokens", "quality_score")
+
+
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schemer_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(docs, "text")
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q26_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media → feature vectors via one
+    Arrow-batched mapInPandas stage (decode deterministically stubbed)."""
+    from json_schemer_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 2_000)
+    feats = extract_features(media, dim=8)
+    return feats.select("media_id", "kind", "feat_dim", "decode_ok")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_constraint_violations": q02_constraint_violations,
+        "q03_enum_status_counts": q03_enum_status_counts,
+        "q04_column_profile_orders": q04_column_profile_orders,
+        "q05_minmax_numeric": q05_minmax_numeric,
+        "q06_referential_orphans": q06_referential_orphans,
+        "q07_duplicate_keys": q07_duplicate_keys,
+        "q08_multipleof": q08_multipleof,
+        "q09_length_histogram": q09_length_histogram,
+        "q10_value_histogram": q10_value_histogram,
+        "q11_psi_drift": q11_psi_drift,
+        "q12_json_props_validate": q12_json_props_validate,
+        "q13_doc_hashes": q13_doc_hashes,
+        "q14_ann_cosine_topk": q14_ann_cosine_topk,
+        "q15_token_stats": q15_token_stats,
+        "q16_exact_dup_groups": q16_exact_dup_groups,
+        "q17_minhash_lsh_candidates": q17_minhash_lsh_candidates,
+        "q18_neardup_jaccard": q18_neardup_jaccard,
+        "q19_simhash_pairs": q19_simhash_pairs,
+        "q20_fingerprints": q20_fingerprints,
+        "q21_ks_drift": q21_ks_drift,
+        "q22_corpus_validate": q22_corpus_validate,
+        "q23_corpus_referential": q23_corpus_referential,
+        "q24_quality_scores": q24_quality_scores,
+        "q25_lang_id": q25_lang_id,
+        "q26_media_features": q26_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_constraint_violations": """
+            SELECT l_orderkey, l_linenumber, 'minimum' AS keyword
+            FROM lineitem WHERE l_discount < 0.02
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'maximum' AS keyword
+            FROM lineitem WHERE l_quantity > 30
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'enum' AS keyword
+            FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+        """,
+        "q03_enum_status_counts": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   o_orderstatus IN ('O', 'F') AS in_enum
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q04_column_profile_orders": """
+            SELECT 'o_orderkey' AS column, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        """,
+        "q05_minmax_numeric": """
+            SELECT 'l_quantity' AS column, ROUND(MIN(l_quantity), 4) AS min_value, ROUND(MAX(l_quantity), 4) AS max_value FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4) FROM lineitem
+            UNION ALL SELECT 'l_discount', ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4) FROM lineitem
+            UNION ALL SELECT 'l_tax', ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4) FROM lineitem
+        """,
+        "q06_referential_orphans": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_custkey % 7 != 0
+            )
+        """,
+        "q07_duplicate_keys": """
+            SELECT p_brand, p_size, COUNT(*) AS dup_count
+            FROM part GROUP BY p_brand, p_size HAVING COUNT(*) > 1
+        """,
+        "q08_multipleof": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN CAST(l_quantity AS DECIMAL(38,12)) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_multiple_of_5,
+                   COUNT(*) AS n_total
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q09_length_histogram": """
+            SELECT LENGTH(c_name) AS length, COUNT(*) AS n
+            FROM customer GROUP BY LENGTH(c_name)
+        """,
+        "q10_value_histogram": """
+            WITH b AS (
+                SELECT LEAST(20, GREATEST(1,
+                    CAST(FLOOR(o_totalprice / 30000.0) AS INT) + 1)) AS bucket
+                FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT bucket,
+                   ROUND((bucket - 1) * 30000.0, 2) AS lo,
+                   ROUND(bucket * 30000.0, 2) AS hi,
+                   COUNT(*) AS n
+            FROM b GROUP BY bucket
+        """,
+        "q11_psi_drift": """
+            WITH bucketed AS (
+                SELECT l_returnflag,
+                       LEAST(10, GREATEST(1, CAST(FLOOR(l_extendedprice / 12000.0) AS INT) + 1)) AS bucket
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            ref AS (
+                SELECT bucket, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM bucketed) AS ref_p
+                FROM bucketed GROUP BY bucket
+            ),
+            grp AS (
+                SELECT l_returnflag, bucket,
+                       COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS p
+                FROM bucketed GROUP BY l_returnflag, bucket
+            )
+            SELECT g.l_returnflag,
+                   ROUND(SUM((g.p - COALESCE(r.ref_p, 0.0)) *
+                             LN((g.p + 1e-6) / (COALESCE(r.ref_p, 0.0) + 1e-6))), 6) AS psi
+            FROM grp g LEFT JOIN ref r USING (bucket)
+            GROUP BY g.l_returnflag
+        """,
+        "q12_json_props_validate": """
+            WITH checks AS (
+                SELECT CASE WHEN json_extract(props, '$.k') IS NULL THEN 'required' END AS required_kw,
+                       CASE WHEN json_type(props, '$.k') IS NOT NULL
+                                 AND json_type(props, '$.k') NOT IN ('BIGINT', 'UBIGINT', 'INTEGER')
+                            THEN 'type' END AS type_kw,
+                       CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'INTEGER')
+                                 AND CAST(json_extract(props, '$.k') AS BIGINT) < 10
+                            THEN 'minimum' END AS min_kw,
+                       CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'INTEGER')
+                                 AND CAST(json_extract(props, '$.k') AS BIGINT) > 80
+                            THEN 'maximum' END AS max_kw
+                FROM events
+            ),
+            kw AS (
+                SELECT required_kw AS keyword FROM checks WHERE required_kw IS NOT NULL
+                UNION ALL SELECT type_kw FROM checks WHERE type_kw IS NOT NULL
+                UNION ALL SELECT min_kw FROM checks WHERE min_kw IS NOT NULL
+                UNION ALL SELECT max_kw FROM checks WHERE max_kw IS NOT NULL
+            )
+            SELECT keyword, COUNT(*) AS n FROM kw GROUP BY keyword
+            UNION ALL
+            SELECT '__valid__', COUNT(*) FROM checks
+            WHERE required_kw IS NULL AND type_kw IS NULL AND min_kw IS NULL AND max_kw IS NULL
+        """,
+        "q13_doc_hashes": """
+            SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
+            FROM documents
+        """,
+        "q14_ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qvec, e.embedding) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+        "q15_token_stats": """
+            SELECT doc_id,
+                   CAST(LEN(LIST_FILTER(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+                                        t -> t != '')) AS INT) AS n_tokens
+            FROM documents
+        """,
+        "q16_exact_dup_groups": """
+            SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+    }

@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All-JVM implementations (Column expressions only — no Python in any hot
+path): exact hash dedup, MinHash+LSH banding, SimHash, n-gram Jaccard.
+
+Scale notes (10^12 rows):
+- exact: one shuffle on the content hash; AQE-coalesced.
+- minhash: signatures are computed in a single projection (shingle →
+  hash-array → K affine permutations); banding explodes to B rows/doc
+  before one shuffle on (band, band_hash) — candidate pairs only ever
+  materialize within a bucket, never the cross product.
+- simhash: one projection to a 64-bit signature; near-dup candidates by
+  16-bit chunk equality (4 shuffles of doc-id sized rows max).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_MERSENNE = (1 << 31) - 1  # 2^31-1, prime; affine-permutation modulus
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical documents → (content_hash, dup_count, ids).
+
+    md5 over the raw text; one partial-agg shuffle.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct text. One shuffle."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    keep = (
+        df.select(F.col(id_col).alias("__keep_id"), h)
+        .groupBy("__h")
+        .agg(F.min("__keep_id").alias("__keep_id"))
+    )
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .join(keep, "__h", "inner")
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .drop("__h", "__keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# character shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text, k: int):
+    """Distinct xxhash64 values of the k-character shingles of ``text``
+    (all Column expressions; text normalized to lowercase, collapsed ws)."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    )
+
+
+def minhash_signature(text, k: int = 5, num_hashes: int = 64):
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    One base hash per shingle, then K affine permutations
+    h_i(x) = (a_i·x + b_i) mod 2^31-1 — products stay < 2^62, ANSI-safe.
+    Seeds are fixed constants → deterministic across runs/partitions.
+    """
+    base = _shingle_hashes(text, k)
+    positive = F.transform(base, lambda h: F.pmod(h, F.lit(_MERSENNE)))
+
+    def _perm(a: int, b: int):
+        # single-arg lambda: PySpark derives lambda arity from the Python
+        # signature, so constants must be closure-captured, not defaults
+        return lambda h: F.pmod(h * a + b, F.lit(_MERSENNE))
+
+    sig = []
+    for i in range(num_hashes):
+        a = (2 * _stable_int(f"a{i}") + 1) % _MERSENNE  # odd
+        b = _stable_int(f"b{i}") % _MERSENNE
+        sig.append(F.array_min(F.transform(positive, _perm(a, b))))
+    return F.array(*sig)
+
+
+def _stable_int(seed: str) -> int:
+    """Deterministic 31-bit int from a string seed (FNV-1a, driver-side)."""
+    h = 2166136261
+    for ch in seed.encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return h & 0x7FFFFFFF
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding → (id_a, id_b, n_bands).
+
+    rows/band = num_hashes/bands. Pipeline: signature projection →
+    posexplode to B band rows → shuffle on (band, hash(band slice)) →
+    pairs within buckets (self-join inside groups via collect_list,
+    bounded by bucket size). Jaccard-verify with :func:`jaccard_pairs`.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
+    banded = (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        # cap pathological buckets (all-identical spam): pairs grow O(n^2)
+        .withColumn("ids", F.slice("ids", 1, 50))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ids")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ids"), i).alias("id_a"),
+                            F.element_at(F.col("ids"), j).alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs → (id_a, id_b, jaccard).
+
+    Two broadcast-or-shuffle joins to attach shingle sets, then pure array
+    algebra. Run on LSH candidates only — never on the cross product.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingle_hashes(F.col(text_col), k).alias("sh")
+    )
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text, n_bits: int = 64):
+    """64-bit SimHash over whitespace tokens — one F.aggregate, all JVM.
+
+    Accumulate per-bit counters with zip_with, then reassemble the sign
+    bits into a bigint.
+    """
+    tokens = F.split(F.trim(F.lower(text)), r"\s+")
+    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
+
+    def merge(acc, h):
+        # shift amounts must be Python ints (shiftright takes no Column),
+        # so the per-bit vector is unrolled driver-side
+        bits = F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for b in range(n_bits)
+            ]
+        )
+        return F.zip_with(acc, bits, lambda x, y: x + y)
+
+    counters = F.aggregate(token_hashes, zero, merge)
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(counters, b + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of 4 16-bit chunks (any
+    pair within Hamming<=3 shares at least one chunk), then verify with
+    ``bit_count(xor) <= max_hamming``.
+    """
+    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        "id", "sig",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)
+            ])
+        ).alias("chunk", "chunk_val"),
+    )
+    buckets = (
+        chunks.groupBy("chunk", "chunk_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("xs"))
+        .filter(F.size("xs") > 1)
+        .withColumn("xs", F.slice("xs", 1, 50))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("xs") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("xs")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("xs"), i).alias("a"),
+                            F.element_at(F.col("xs"), j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig"))).alias("hamming"),
+    )
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

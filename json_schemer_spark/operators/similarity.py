@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exactness baseline. Broadcast the (small)
+  query set against the corpus: one pass, no shuffle of the corpus, then a
+  per-query top-k window.
+- LSH-bucketed (random hyperplane / SRP) variant: the scale path — buckets
+  shrink the candidate set by ~2^planes before exact rerank.
+
+All dot products run in one JVM expression (``aggregate(zip_with(...))``) —
+no Python, no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return (_dot(a, b) / (_norm(a) * _norm(b))).alias("cosine")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbours per query → (query_id, neighbor_id, rank, cosine).
+
+    ``queries`` must be small (broadcast). The corpus is scanned once; the
+    only shuffle is the per-query top-k (rank window partitioned by query —
+    tiny, #queries × k rows after partial sort).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("__qvec"), F.col("__cvec"))
+             / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "jss-srp-v1") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, seeded FNV —
+    no RNG state, reproducible across runs)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = 2166136261
+            for ch in f"{seed}:{p}:{d}".encode():
+                h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+            row.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec, dim: int, n_planes: int = 16):
+    """Signed-random-projection bucket id (bigint) for an embedding column."""
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in planes[p]])
+        bits.append(
+            F.when(_dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket join (equal signature) then exact
+    cosine rerank within buckets. Recall rises with fewer planes; the
+    bucket join replaces the corpus-wide cross product with an equi-join
+    Catalyst can shuffle-hash (or broadcast the query side).
+    """
+    sig = lambda v: srp_signature(v, dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        sig(F.col(vec_col)).alias("__sig"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sig(F.col(vec_col)).alias("__sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("__qvec"), F.col("__cvec"))
+             / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

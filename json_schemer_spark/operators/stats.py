@@ -1,0 +1,97 @@
+"""Per-column statistics (north_star: null rate, distinct counts via HLL,
+length/value histograms). Single-pass aggregations — Catalyst partial+final
+hash agg, no extra shuffles beyond the one final exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def column_profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One output row per column: null_rate, distinct count, min/max.
+
+    ``exact_distinct=False`` uses HLL++ (``approx_count_distinct``) — the
+    scale path for 10^12-row tables; exact mode exists for oracle parity.
+    One aggregation pass for ALL columns (not one job per column).
+    """
+    cols = list(columns or df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            dtypes[c],
+            int(row["__n"]),
+            int(row[f"{c}__nulls"]),
+            float(row[f"{c}__nulls"]) / row["__n"] if row["__n"] else 0.0,
+            int(row[f"{c}__distinct"]),
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_rows bigint, n_nulls bigint, "
+        "null_rate double, n_distinct bigint, min_value string, max_value string",
+    )
+
+
+def length_histogram(df: DataFrame, column: str) -> DataFrame:
+    """Distribution of string lengths → (length, count). One shuffle."""
+    return (
+        df.select(F.length(F.col(column)).alias("length"))
+        .groupBy("length")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def value_histogram(
+    df: DataFrame, column: str, n_buckets: int = 20,
+    lo: Optional[float] = None, hi: Optional[float] = None,
+) -> DataFrame:
+    """Fixed-width numeric histogram → (bucket, lo, hi, count).
+
+    Bounds are either given (single pass) or taken from a cheap min/max
+    pre-pass. ``width_bucket`` keeps everything JVM-side.
+    """
+    col = F.col(column).cast("double")
+    if lo is None or hi is None:
+        r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo, hi = float(r.lo), float(r.hi)
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets), F.greatest(F.lit(1), F.width_bucket(col, F.lit(lo), F.lit(hi), F.lit(n_buckets)))
+    )
+    return (
+        df.where(col.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "bucket",
+            (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).alias("lo"),
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("hi"),
+            "count",
+        )
+    )

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting. Pure Column expressions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny stopword profiles for an n-gram-free language heuristic
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"],
+    "es": ["el", "la", "de", "que", "los", "es", "una", "por", "con", "para"],
+}
+
+STOPWORDS_EN = _LANG_PROFILES["en"] + ["a", "an", "as", "at", "be", "by", "on", "or", "was"]
+
+
+def tokens(text):
+    """Whitespace tokens of lowercased text; empty text → empty array."""
+    t = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def token_count(text):
+    return F.size(tokens(text))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_chars_measured, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, upper_ratio — the classic cheap quality signals."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    return df.withColumns(
+        {
+            "n_chars_measured": n_chars,
+            "n_tokens": n_tokens,
+            "avg_token_len": F.when(
+                n_tokens > 0,
+                (n_chars - (n_tokens - 1)).cast("double") / n_tokens,
+            ).otherwise(F.lit(0.0)),
+            "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
+            "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0),
+            "upper_ratio": F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """A single [0,1] quality score from the features (heuristic weights)."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.when(F.col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0)
+        + F.when(F.col("punct_ratio") < 0.1, 0.15).otherwise(0.0)
+        + F.when(F.col("stopword_ratio").between(0.1, 0.7), 0.15).otherwise(0.0)
+    )
+    return feat.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Stopword-profile language guess → adds detected_lang, lang_score.
+
+    Per language: count profile-word occurrences among tokens; argmax via
+    a sorted array of (score, lang) structs. All JVM-side.
+    """
+    toks = tokens(F.col(text_col))
+    scored = []
+    for lang, words in _LANG_PROFILES.items():
+        prof = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.element_at(F.sort_array(F.array(*scored), asc=False), 1)
+    n_tokens = F.size(toks)
+    return df.withColumns(
+        {
+            "detected_lang": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown")),
+            "lang_score": F.when(
+                n_tokens > 0, best["score"].cast("double") / n_tokens
+            ).otherwise(0.0),
+        }
+    )
+
+
+def fingerprint(text, k: int = 8, keep_mod: int = 8):
+    """Winnowing-style document fingerprint (bigint).
+
+    k-char shingle hashes → deterministic mod-sampling (h % keep_mod == 0)
+    → order-independent combine. Robust to small edits that leave most
+    shingles intact; one projection, no shuffle.
+    """
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
+    )
+    sampled = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
+    # fall back to all hashes for very short docs with no sampled shingles
+    chosen = F.when(F.size(sampled) > 0, sampled).otherwise(hashes)
+    return F.aggregate(
+        F.array_distinct(chosen),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc.bitwiseXOR(h),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    return df.select(
+        F.col(id_col), fingerprint(F.col(text_col), k=k).alias("fingerprint")
+    )
