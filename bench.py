@@ -1,0 +1,127 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "files_validated_per_sec", "value": N, "unit": "rows/sec",
+     "queries": {...per-query seconds...}, "sf": ..., "cpus": N, ...}
+
+Headline metric (BASELINE.json north rule): files validated/sec on the
+synthetic source-code corpus via the columnar (pure-Column) tier.
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_CORPUS_ROWS (default 2_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "2000000"))
+CORPUS_PATH = os.environ.get("SPARK_GRAFT_CORPUS_PATH", f"/tmp/jss_bench_corpus_{CORPUS_ROWS}")
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"jss-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Force full evaluation without driver collect (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def ensure_corpus(spark, n_rows: int, path: str):
+    """Materialize the deterministic corpus once (excluded from timings)."""
+    from json_schemer_spark.sources.corpus import generate_corpus
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_corpus(spark, n_rows, partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def bench_corpus_validation(spark, corpus) -> tuple[float, int]:
+    """The north metric: flagship-schema validation, columnar tier."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA
+
+    plan = compile_schema(FLAGSHIP_SCHEMA)
+    n = corpus.count()
+    t0 = time.time()
+    out = plan.validate_json_column(corpus, "content")
+    # verdict + per-repo rollup (the per-partition pass/fail of the rule)
+    out.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum((~F.col("valid")).cast("long")).alias("failed"),
+    ).write.format("noop").mode("overwrite").save()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    import __spark_entry__ as entrymod
+
+    corpus = ensure_corpus(spark, CORPUS_ROWS, CORPUS_PATH)
+    # warm the JVM/codegen once on a small slice
+    bench_corpus_validation(spark, corpus.limit(10_000))
+
+    val_sec, n_rows = bench_corpus_validation(spark, corpus)
+    files_per_sec = n_rows / val_sec
+
+    headline = [
+        "q01_pricing_summary",
+        "q02_constraint_violations",
+        "q06_referential_orphans",
+        "q07_duplicate_keys",
+        "q11_psi_drift",
+        "q12_json_props_validate",
+        "q13_doc_hashes",
+        "q14_ann_cosine_topk",
+        "q17_minhash_lsh_candidates",
+        "q19_simhash_pairs",
+        "q22_corpus_validate",
+        "q23_corpus_referential",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
+    for name in headline:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "files_validated_per_sec",
+        "value": round(files_per_sec, 1),
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "corpus_rows": n_rows,
+        "corpus_validation_sec": round(val_sec, 3),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Resumable validation runs: completed-partition ledger + anti-join restart
+(north rule: "resumable from Iceberg snapshot checkpoints carrying
+per-partition lineage and stats metrics").
+
+Sandbox realization: the ledger is a parquet table (an Iceberg catalog is
+not available in this environment; the layout is 1:1 — swap
+``write.parquet`` for ``writeTo(...).append()`` on a real cluster and the
+snapshot id for Iceberg's). Semantics:
+
+1. The corpus is processed in **work units** (hash buckets of ``repo`` —
+   deterministic, partition-count independent).
+2. After each unit's verdicts/violations land, a ledger row
+   (unit, n_rows, n_failed, wall_sec, run_id) is appended — per-partition
+   lineage + metrics.
+3. Restart = left-anti join of the unit list against the ledger → only
+   unfinished units re-run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Callable, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+LEDGER_SCHEMA = (
+    "unit int, n_rows bigint, n_failed bigint, wall_sec double, "
+    "run_id string, finished_at_unix double"
+)
+
+
+class CheckpointedRun:
+    """Drives a unit-at-a-time validation with resume.
+
+    ``n_units`` buckets by ``xxhash64(unit_col) % n_units`` — stable across
+    cluster sizes and input partitioning, so a resume after a crash (or on
+    a different cluster size) picks up exactly the missing buckets.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ledger_path: str,
+        out_path: str,
+        n_units: int = 16,
+        unit_col: str = "repo",
+    ) -> None:
+        self.spark = spark
+        self.ledger_path = ledger_path
+        self.out_path = out_path
+        self.n_units = n_units
+        self.unit_col = unit_col
+
+    def _unit_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.unit_col)), F.lit(self.n_units)).cast("int")
+
+    def completed_units(self) -> set[int]:
+        if not os.path.exists(self.ledger_path):
+            return set()
+        try:
+            rows = self.spark.read.parquet(self.ledger_path).select("unit").distinct().collect()
+        except Exception:
+            return set()
+        return {r.unit for r in rows}
+
+    def pending_units(self) -> list[int]:
+        done = self.completed_units()
+        return [u for u in range(self.n_units) if u not in done]
+
+    def run(
+        self,
+        df: DataFrame,
+        validate: Callable[[DataFrame], DataFrame],
+        run_id: Optional[str] = None,
+    ) -> dict:
+        """Process every pending unit; returns a summary dict.
+
+        ``validate(df) -> df with 'valid' column``; verdicts land under
+        ``out_path/unit=<u>/`` and a ledger row commits after each unit —
+        the commit order (data first, ledger second) makes the ledger a
+        conservative low-water mark: a crash between the two re-runs the
+        unit idempotently (same deterministic output overwrites).
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        pending = self.pending_units()
+        summary = {"run_id": run_id, "units_run": 0, "rows": 0, "failed": 0, "skipped_units": self.n_units - len(pending)}
+        staged = df.withColumn("__unit", self._unit_expr())
+        for unit in pending:
+            t0 = time.time()
+            part = staged.filter(F.col("__unit") == unit).drop("__unit")
+            out = validate(part)
+            out.write.mode("overwrite").parquet(f"{self.out_path}/unit={unit}")
+            agg = (
+                self.spark.read.parquet(f"{self.out_path}/unit={unit}")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((~F.col("valid")).cast("long")).alias("nf"),
+                )
+                .collect()[0]
+            )
+            wall = time.time() - t0
+            ledger_row = self.spark.createDataFrame(
+                [(unit, int(agg.n), int(agg.nf or 0), float(wall), run_id, time.time())],
+                LEDGER_SCHEMA,
+            )
+            ledger_row.write.mode("append").parquet(self.ledger_path)
+            summary["units_run"] += 1
+            summary["rows"] += int(agg.n)
+            summary["failed"] += int(agg.nf or 0)
+        return summary
+
+    def metrics(self) -> DataFrame:
+        """The per-partition lineage + metrics table (ledger contents)."""
+        return self.spark.read.parquet(self.ledger_path)

@@ -81,6 +81,10 @@ class Evaluator:
             self.root_resource = self.registry.info(root_schema).resource
         self.root = root_schema
         self.assert_formats = assert_formats
+        if formats is None and assert_formats:
+            from json_schemer_spark.schema.formats import FORMAT_CHECKS
+
+            formats = FORMAT_CHECKS
         self.formats = formats or {}
         self._regex_cache: dict[str, Any] = {}
 

@@ -1,0 +1,151 @@
+"""Table-level operators against the driver testdata (sf0.001)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {
+        name: spark.read.parquet(f"{SF}/{name}.parquet")
+        for name in ["orders", "customer", "lineitem", "part", "documents", "embeddings"]
+    }
+
+
+def test_table_constraints_violations(tables):
+    from json_schemer_spark.operators.table_constraints import TableConstraints
+
+    tc = TableConstraints(
+        {
+            "required": ["l_orderkey"],
+            "properties": {
+                "l_discount": {"minimum": 0.02},
+                "l_returnflag": {"enum": ["A", "N"]},
+            },
+        }
+    )
+    out = tc.validate(tables["lineitem"])
+    flat = tc.violations_flat(tables["lineitem"], ["l_orderkey", "l_linenumber"])
+    n_bad = out.filter(~F.col("valid")).count()
+    assert n_bad > 0
+    assert flat.count() >= n_bad  # rows can carry >1 violation
+    kws = {r.keyword for r in flat.select("keyword").distinct().collect()}
+    assert "minimum" in kws and "enum" in kws
+
+
+def test_column_profile(tables):
+    from json_schemer_spark.operators.stats import column_profile
+
+    prof = column_profile(tables["orders"], ["o_orderkey", "o_orderstatus"], exact_distinct=True)
+    rows = {r.column: r for r in prof.collect()}
+    assert rows["o_orderkey"].n_distinct == rows["o_orderkey"].n_rows
+    assert rows["o_orderstatus"].n_distinct == 3
+    assert rows["o_orderkey"].null_rate == 0.0
+
+
+def test_referential_anti_join_strategies(tables, spark):
+    from json_schemer_spark.operators.referential import dangling_references
+
+    orders, customer = tables["orders"], tables["customer"]
+    thin = customer.filter(F.col("c_custkey") % 7 != 0)
+    broadcast_n = dangling_references(orders, thin, {"o_custkey": "c_custkey"}).count()
+    shuffle_n = dangling_references(
+        orders, thin, {"o_custkey": "c_custkey"}, broadcast_dim=False
+    ).count()
+    salted_n = dangling_references(orders, thin, {"o_custkey": "c_custkey"}, salt=4).count()
+    assert broadcast_n == shuffle_n == salted_n > 0
+
+
+def test_psi_zero_against_self(tables):
+    from json_schemer_spark.operators.drift import psi
+
+    li = tables["lineitem"]
+    whole = psi(li.withColumn("g", F.lit("all")), "l_quantity", ["g"], n_buckets=10)
+    row = whole.collect()[0]
+    assert abs(row.psi) < 1e-9  # identical distribution → PSI == 0
+
+
+def test_ks_detects_shift(spark, tables):
+    from json_schemer_spark.operators.drift import ks_per_group
+
+    li = tables["lineitem"]
+    out = ks_per_group(
+        li, "l_quantity", ["l_returnflag"],
+        [0.0, 0.5, 1.0], [1.0, 25.0, 50.0],
+    ).collect()
+    assert all(0.0 <= r.ks <= 1.0 for r in out)
+
+
+def test_minhash_finds_known_neardups(spark):
+    from json_schemer_spark.operators.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    # varied vocabulary → a real shingle set (repeated text collapses to
+    # a handful of distinct shingles and is not representative)
+    base = " ".join(f"token{i} word{i * 7 % 211}" for i in range(150))
+    rows = [
+        (1, base),
+        (2, base + " plus a tiny tail difference"),  # near-dup of 1
+        (3, " ".join(f"other{i} thing{i * 13 % 97}" for i in range(140))),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = minhash_lsh_candidates(df, "text", "doc_id")
+    verified = jaccard_pairs(df, cand, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_hamming(spark):
+    from json_schemer_spark.operators.dedup import simhash_candidates
+
+    base = " ".join(f"alpha{i} beta{i * 11 % 303}" for i in range(200))
+    rows = [(1, base), (2, base + " iota"), (3, " ".join(f"gamma{i}" for i in range(300)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(df, "text", "doc_id", 5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 5
+
+
+def test_brute_force_topk_selfmatch(spark, tables):
+    from json_schemer_spark.operators.similarity import brute_force_topk
+
+    emb = tables["embeddings"]
+    # duplicate vec 0 as id 9999 → must be each other's top neighbour (cos=1)
+    clone = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9999).cast("long"))
+    df = emb.unionByName(clone)
+    top = brute_force_topk(df, df.filter(F.col("vec_id") == 9999), k=1).collect()[0]
+    assert top.neighbor_id == 0 and abs(top.cosine - 1.0) < 1e-6
+
+
+def test_checkpoint_resume(spark, tables, tmp_path):
+    from json_schemer_spark.plans.checkpoint import CheckpointedRun
+    from json_schemer_spark.operators.table_constraints import TableConstraints
+
+    tc = TableConstraints({"properties": {"o_totalprice": {"maximum": 300000}}})
+    run = CheckpointedRun(
+        spark, str(tmp_path / "ledger"), str(tmp_path / "out"), n_units=4, unit_col="o_orderpriority"
+    )
+    s1 = run.run(tables["orders"], tc.validate)
+    assert s1["units_run"] == 4 and s1["skipped_units"] == 0
+    # resume: everything checkpointed → nothing re-runs
+    s2 = run.run(tables["orders"], tc.validate)
+    assert s2["units_run"] == 0 and s2["skipped_units"] == 4
+    assert run.metrics().count() == 4
+    total = spark.read.parquet(str(tmp_path / "out")).count()
+    assert total == tables["orders"].count()
+
+
+def test_multimodal_plumbing(spark):
+    from json_schemer_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 100)
+    feats = extract_features(media, dim=4)
+    rows = feats.collect()
+    assert len(rows) == 100
+    assert all(len(r.features) == 4 and r.decode_ok for r in rows)
+    # deterministic: same media → same features
+    again = {r.media_id: r.features for r in extract_features(media, dim=4).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
