@@ -225,6 +225,12 @@ def check_idn_email(v: str) -> bool:
     return all(_IDN_LABEL_RE.match(l) for l in labels) and len(labels) >= 1
 
 
+def _idn_hostname(v: str) -> bool:
+    from json_schemer_spark.schema.idna import check_idn_hostname
+
+    return check_idn_hostname(v)
+
+
 def _wrap(fn: Callable[[str], bool]) -> Callable[[Any, Any], bool]:
     def check(value: Any, _fmt: Any = None) -> bool:
         if not isinstance(value, str):
@@ -242,7 +248,7 @@ FORMAT_CHECKS: dict[str, Callable[[Any, Any], bool]] = {
     "email": _wrap(check_email),
     "idn-email": _wrap(check_idn_email),
     "hostname": _wrap(check_hostname),
-    "idn-hostname": _wrap(check_hostname),  # ASCII subset; IDNA rules later
+    "idn-hostname": _wrap(_idn_hostname),
     "ipv4": _wrap(check_ipv4),
     "ipv6": _wrap(check_ipv6),
     "uri": _wrap(check_uri),

@@ -1,11 +1,15 @@
 """Two-parallelism scaling run (BASELINE.json north rule, sandbox form).
 
 Runs the identical corpus-validation job at local[N] and local[4N] on the
-same materialized parquet input and reports throughput at both plus
+same materialized parquet input; reports MEDIAN throughput at both plus
 scaling efficiency = throughput(4N) / (4 x throughput(N)).
 
-Each parallelism level runs in a FRESH JVM (subprocess) so executor-thread
-pools, codegen caches, and memory managers don't leak between measurements.
+Methodology (variance control):
+- one fresh JVM per measurement (no shared codegen caches / GC state),
+- levels interleaved (L,H,L,H,...) so environment drift hits both equally,
+- medians, not best-of (single-run noise on shared sandboxes is large),
+- 16g heap (string-heavy corpus; keeps GC out of the signal),
+- maxPartitionBytes tuned so both levels have >= 2 waves of input splits.
 
 Usage: python scripts/scaling_run.py [rows] [n_low] [repeats]
 """
@@ -13,28 +17,29 @@ Usage: python scripts/scaling_run.py [rows] [n_low] [repeats]
 from __future__ import annotations
 
 import json
-import os
+import statistics
 import subprocess
 import sys
 
-ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 N_LOW = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 N_HIGH = N_LOW * 4
 CORPUS = f"/tmp/jss_scaling_corpus_{ROWS}"
 
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
-cpus = int(sys.argv[1]); rows = int(sys.argv[2]); path = sys.argv[3]; repeats = int(sys.argv[4])
+cpus = int(sys.argv[1]); rows = int(sys.argv[2]); path = sys.argv[3]
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
          .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.driver.memory", "8g")
+         .config("spark.driver.memory", "16g")
          .getOrCreate())
 from json_schemer_spark import compile_schema
 from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA, generate_corpus
@@ -42,48 +47,56 @@ if not os.path.exists(os.path.join(path, "_SUCCESS")):
     generate_corpus(spark, rows, partitions=128).write.mode("overwrite").parquet(path)
 corpus = spark.read.parquet(path)
 plan = compile_schema(FLAGSHIP_SCHEMA)
-def run_once():
+def run_once(df):
     t0 = time.time()
-    out = plan.validate_json_column(corpus, "content")
+    out = plan.validate_json_column(df, "content")
     (out.groupBy("repo")
         .agg(F.count(F.lit(1)).alias("files"), F.sum((~F.col("valid")).cast("long")).alias("failed"))
         .write.format("noop").mode("overwrite").save())
     return time.time() - t0
-run_once()  # JVM/codegen warmup
-times = [run_once() for _ in range(repeats)]
-best = min(times)
-print(json.dumps({"cpus": cpus, "rows": rows, "times": [round(t,3) for t in times],
-                  "best_sec": round(best,3), "rows_per_sec": round(rows/best,1)}))
+run_once(corpus.limit(200_000))  # JVM/codegen warmup
+sec = run_once(corpus)
+print(json.dumps({"cpus": cpus, "sec": round(sec, 3)}))
 spark.stop()
 """
 
 
-def run_level(cpus: int) -> dict:
+def measure(cpus: int) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(ROWS), CORPUS, str(REPEATS)],
+        [sys.executable, "-c", CHILD, str(cpus), str(ROWS), CORPUS],
         capture_output=True, text=True, timeout=1800,
     )
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            return json.loads(line)["sec"]
     raise RuntimeError(f"no result from cpus={cpus}: {out.stderr[-2000:]}")
 
 
 def main():
-    low = run_level(N_LOW)
-    high = run_level(N_HIGH)
-    eff = high["rows_per_sec"] / (4 * low["rows_per_sec"])
-    result = {
+    # materialize the corpus once before timing anything
+    measure(N_HIGH)
+    low_times, high_times = [], []
+    for i in range(REPEATS):
+        low_times.append(measure(N_LOW))
+        high_times.append(measure(N_HIGH))
+        print(f"round {i + 1}: low={low_times[-1]}s high={high_times[-1]}s", file=sys.stderr)
+    low_med = statistics.median(low_times)
+    high_med = statistics.median(high_times)
+    low_tp = ROWS / low_med
+    high_tp = ROWS / high_med
+    eff = high_tp / (4 * low_tp)
+    print(json.dumps({
         "job": "corpus flagship validation (columnar tier) + per-repo verdict rollup",
         "rows": ROWS,
-        "low": low,
-        "high": high,
+        "low": {"cpus": N_LOW, "times": low_times, "median_sec": round(low_med, 3),
+                "rows_per_sec": round(low_tp, 1)},
+        "high": {"cpus": N_HIGH, "times": high_times, "median_sec": round(high_med, 3),
+                 "rows_per_sec": round(high_tp, 1)},
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,
-    }
-    print(json.dumps(result, indent=2))
+    }, indent=2))
 
 
 if __name__ == "__main__":

@@ -1,8 +1,5 @@
-"""Optional-suite format conformance (assert_formats=True).
-
-draft4/6 pass 100%; later drafts carry a known gap: idn-hostname's full
-IDNA-2008 context rules (20 cases/draft) are not yet implemented.
-"""
+"""Optional-suite format conformance (assert_formats=True): 100% on every
+draft, including idn-hostname's IDNA-2008 context rules."""
 
 import json
 import os
@@ -17,9 +14,9 @@ from json_schemer_spark.schema.suite import DRAFT_DIRS, SUITE_ROOT, _remotes_res
 FLOORS = {
     "draft4": 1.0,
     "draft6": 1.0,
-    "draft7": 0.95,
-    "draft2019-09": 0.95,
-    "draft2020-12": 0.95,
+    "draft7": 1.0,
+    "draft2019-09": 1.0,
+    "draft2020-12": 1.0,
 }
 
 
