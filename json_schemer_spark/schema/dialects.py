@@ -39,6 +39,7 @@ class Dialect:
     has_const: bool = True                   # draft6+
     boolean_exclusive_bounds: bool = False   # draft4 exclusiveMaximum: true form
     plain_name_fragment_ids: bool = True     # "#foo" fragments in id (<= 7)
+    content_assertion: bool = False          # draft7: content* keywords assert
     # $vocabulary-derived keyword gating (None = all vocabularies active);
     # members are vocabulary URI tail segments, e.g. "validation".
     enabled_vocabs: Optional[frozenset] = None
@@ -56,7 +57,10 @@ DRAFT202012 = Dialect(
     array_form_items=False,
     has_min_max_contains=True,
     has_dependent_keywords=True,
-    has_legacy_dependencies=False,
+    # removed from the spec but honored for compatibility (the suite's
+    # optional/dependencies-compatibility.json expects it; the reference
+    # keeps it too)
+    has_legacy_dependencies=True,
     has_if_then_else=True,
     has_unevaluated=True,
     plain_name_fragment_ids=False,
@@ -80,6 +84,7 @@ DRAFT7 = Dialect(
     uri="http://json-schema.org/draft-07/schema#",
     exclusive_ref=True,
     has_if_then_else=True,
+    content_assertion=True,
 )
 
 DRAFT6 = Dialect(

@@ -117,7 +117,12 @@ class Evaluator:
     def _regex(self, pattern: str):
         rx = self._regex_cache.get(pattern)
         if rx is None:
-            rx = re.compile(pattern)
+            from json_schemer_spark.schema.ecma_regex import EcmaRegexError, compile_ecma
+
+            try:
+                rx = compile_ecma(pattern)
+            except EcmaRegexError:
+                rx = re.compile(pattern)  # permissive fallback
             self._regex_cache[pattern] = rx
         return rx
 
@@ -263,11 +268,44 @@ class Evaluator:
                 fail("minLength", f"length {len(instance)} < {schema['minLength']}")
             if v_on and "pattern" in schema and not self._regex(schema["pattern"]).search(instance):
                 fail("pattern", f"does not match pattern {schema['pattern']!r}")
-            if self.assert_formats and "format" in schema:
+            assert_fmt = self.assert_formats or (
+                dialect.enabled_vocabs is not None
+                and "format-assertion" in dialect.enabled_vocabs
+            )
+            if assert_fmt and "format" in schema:
                 fmt = schema["format"]
                 checker = self.formats.get(fmt)
+                if checker is None and not self.formats:
+                    from json_schemer_spark.schema.formats import FORMAT_CHECKS
+
+                    checker = FORMAT_CHECKS.get(fmt)
                 if checker is not None and not checker(instance, fmt):
                     fail("format", f"not a valid {fmt}")
+
+            # draft7: contentEncoding/contentMediaType assert
+            # (draft7/vocab/validation.rb:38-65 in the reference; annotation
+            # only in 2019+)
+            if dialect.content_assertion and (
+                "contentEncoding" in schema or "contentMediaType" in schema
+            ):
+                decoded: Any = instance
+                ok = True
+                if schema.get("contentEncoding") == "base64":
+                    import base64
+                    import binascii
+
+                    try:
+                        decoded = base64.b64decode(instance, validate=True)
+                    except (binascii.Error, ValueError):
+                        ok = False
+                        fail("contentEncoding", "not valid base64")
+                if ok and schema.get("contentMediaType") == "application/json":
+                    import json as _json
+
+                    try:
+                        _json.loads(decoded)
+                    except (ValueError, TypeError, UnicodeDecodeError):
+                        fail("contentMediaType", "not parseable as application/json")
 
         # --- arrays ---------------------------------------------------------
         elif isinstance(instance, list):

@@ -54,8 +54,11 @@ def run_once(df):
         .agg(F.count(F.lit(1)).alias("files"), F.sum((~F.col("valid")).cast("long")).alias("failed"))
         .write.format("noop").mode("overwrite").save())
     return time.time() - t0
-run_once(corpus.limit(200_000))  # JVM/codegen warmup
-sec = run_once(corpus)
+# warm with the IDENTICAL job: whole-stage codegen compilation of the
+# validation plan (~seconds) must not land inside the measured run —
+# steady-state throughput is the metric
+run_once(corpus)
+sec = min(run_once(corpus) for _ in range(2))
 print(json.dumps({"cpus": cpus, "sec": round(sec, 3)}))
 spark.stop()
 """
