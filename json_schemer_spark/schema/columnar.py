@@ -156,9 +156,17 @@ class _Ctx:
         return key
 
     def ts(self, vkey: str) -> str:
+        """Scalar type tag. NOTE: schema_of_variant serializes the ENTIRE
+        subtree type (per row!) — only use on scalar-ish locations; object/
+        array dispatch goes through the obj()/arr() try-casts instead."""
         import pyspark.sql.functions as F
 
         return self.typed(vkey, "ts", lambda v: F.schema_of_variant(v))
+
+    def obj(self, vkey: str) -> str:
+        import pyspark.sql.functions as F
+
+        return self.typed(vkey, "obj", lambda v: F.try_variant_get(v, "$", "map<string,variant>"))
 
     def num(self, vkey: str) -> str:
         import pyspark.sql.functions as F
@@ -207,8 +215,35 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
             ]
         return emit_false
 
-    # pre-allocate the typed views this node needs (stage-1, unconditional)
-    tskey = ctx.ts(vkey)
+    # --- typed-view allocation (stage-1, build time only) -----------------
+    # schema_of_variant serializes the WHOLE subtree type per row, so it is
+    # allocated only when scalar dispatch is genuinely needed; object/array
+    # dispatch uses cheap try-casts.
+    type_list = schema.get("type")
+    type_list = (
+        type_list if isinstance(type_list, list) else ([type_list] if type_list else [])
+    )
+    scalar_kws = bool(
+        set(schema)
+        & {
+            "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+            "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+        }
+    )
+    needs_ts = scalar_kws or any(
+        t in ("string", "boolean", "null", "number", "integer") for t in type_list
+    )
+    tskey = ctx.ts(vkey) if needs_ts else None
+    needs_obj = "object" in type_list or bool(schema.get("required"))
+    objkey = ctx.obj(vkey) if needs_obj else None
+    needs_arr = (
+        "array" in type_list
+        or "maxItems" in schema
+        or "minItems" in schema
+        or ("items" in schema and not isinstance(schema["items"], list))
+    )
+    arrkey = ctx.arr(vkey) if needs_arr else None
+
     checks: list[Callable] = []   # (get, ipath) -> (fail_cond, keyword, msg)
     subs: list[Callable] = []     # (get, ipath) -> (valid, fails)
 
@@ -217,20 +252,22 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
         return ts.isin(*_NUMERIC_TAGS) | ts.startswith("DECIMAL")
 
     def is_object(get):
-        ts = get(tskey)
-        return ts.startswith("OBJECT") | ts.startswith("STRUCT")
+        return get(objkey).isNotNull()
 
     # --- type ---------------------------------------------------------------
-    if "type" in schema:
-        allowed = schema["type"] if isinstance(schema["type"], list) else [schema["type"]]
-        needs_num = "integer" in allowed and not dialect.strict_integer
+    if type_list:
+        needs_num = "integer" in type_list and not dialect.strict_integer
         numkey = ctx.num(vkey) if needs_num else None
 
-        def type_check(get, ipath, allowed=tuple(allowed), numkey=numkey):
-            ts = get(tskey)
+        def type_check(get, ipath, allowed=tuple(type_list), numkey=numkey):
             ok = None
             for t in allowed:
-                c = _type_pred(get, ts, t, dialect, numkey, is_numeric)
+                if t == "object":
+                    c = get(objkey).isNotNull()
+                elif t == "array":
+                    c = get(arrkey).isNotNull()
+                else:
+                    c = _type_pred(get, get(tskey), t, dialect, numkey, is_numeric)
                 ok = c if ok is None else (ok | c)
             cond = get(vkey).isNotNull() & ~F.coalesce(ok, F.lit(False))
             return cond, "type", f"expected {list(allowed)}"
@@ -347,21 +384,19 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
 
     # --- arrays -----------------------------------------------------------------------
     def gated_arr(get):
-        return F.when(get(tskey).startswith("ARRAY"), get(ctx.arr(vkey)))
+        # arrkey is the try-cast itself: NULL for every non-array value
+        return get(arrkey)
 
     if "maxItems" in schema:
-        ctx.arr(vkey)
         k = schema["maxItems"]
         checks.append(lambda get, ipath, k=k: (
             F.coalesce(F.size(gated_arr(get)) > k, F.lit(False)), "maxItems", f"more than {k} items"))
     if "minItems" in schema:
-        ctx.arr(vkey)
         k = schema["minItems"]
         checks.append(lambda get, ipath, k=k: (
             F.coalesce(F.size(gated_arr(get)) < k, F.lit(False)), "minItems", f"fewer than {k} items"))
 
     if "items" in schema and not isinstance(schema["items"], list):
-        ctx.arr(vkey)
         item_pred = _lower_element(schema["items"], dialect)
 
         def items_check(get, ipath, item_pred=item_pred):
