@@ -473,7 +473,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CASE WHEN json_extract(props, '$.k') IS NULL THEN 'required' END AS required_kw,
                        CASE WHEN json_type(props, '$.k') IS NOT NULL
                                  AND json_type(props, '$.k') NOT IN ('BIGINT', 'UBIGINT', 'INTEGER')
-                            THEN 'type' END AS type_kw,
+                            THEN 'integer' END AS type_kw,
                        CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'INTEGER')
                                  AND CAST(json_extract(props, '$.k') AS BIGINT) < 10
                             THEN 'minimum' END AS min_kw,

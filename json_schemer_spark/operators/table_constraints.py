@@ -184,6 +184,7 @@ class TableConstraints:
 
 
 def sp_prefix(ptr: str, kw: str) -> str:
+    """Classic convention: schema_pointer addresses the schema object."""
     if kw == "required":
-        return "/required"
-    return f"/properties{ptr}/{kw}"
+        return ""
+    return f"/properties{ptr}"

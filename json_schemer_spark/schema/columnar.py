@@ -259,7 +259,10 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
         needs_num = "integer" in type_list and not dialect.strict_integer
         numkey = ctx.num(vkey) if needs_num else None
 
-        def type_check(get, ipath, allowed=tuple(type_list), numkey=numkey):
+        # reference convention: single type → error type is the type name
+        type_kw = type_list[0] if (len(type_list) == 1 and not isinstance(schema["type"], list)) else "type"
+
+        def type_check(get, ipath, allowed=tuple(type_list), numkey=numkey, type_kw=type_kw):
             ok = None
             for t in allowed:
                 if t == "object":
@@ -270,7 +273,7 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                     c = _type_pred(get, get(tskey), t, dialect, numkey, is_numeric)
                 ok = c if ok is None else (ok | c)
             cond = get(vkey).isNotNull() & ~F.coalesce(ok, F.lit(False))
-            return cond, "type", f"expected {list(allowed)}"
+            return cond, type_kw, f"expected {list(allowed)}"
 
         checks.append(type_check)
 
@@ -445,13 +448,17 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                     for i, s in enumerate(schema["anyOf"])]
 
         def any_of(get, ipath, branches=branches):
+            results = [b(get, ipath) for b in branches]
             ok = None
-            for b in branches:
-                c = b(get, ipath)[0]
-                ok = c if ok is None else (ok | c)
+            for bv, _ in results:
+                ok = bv if ok is None else (ok | bv)
             ok = F.coalesce(ok, F.lit(False))
-            return ok, [_viol(get(vkey).isNotNull() & ~ok, "anyOf", ipath,
-                              f"{spath}/anyOf", "no subschema matched")]
+            # reference convention: no anyOf summary — branch errors
+            # surface only when every branch failed
+            fails = [
+                F.when(~ok, c) for _, bf in results for c in bf
+            ]
+            return ok, fails
 
         subs.append(any_of)
 
@@ -460,13 +467,19 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                     for i, s in enumerate(schema["oneOf"])]
 
         def one_of(get, ipath, branches=branches):
+            results = [b(get, ipath) for b in branches]
             total = None
-            for b in branches:
-                c = F.coalesce(b(get, ipath)[0], F.lit(False)).cast("int")
+            for bv, _ in results:
+                c = F.coalesce(bv, F.lit(False)).cast("int")
                 total = c if total is None else (total + c)
             ok = total == 1
-            return ok, [_viol(get(vkey).isNotNull() & ~ok, "oneOf", ipath,
-                              f"{spath}/oneOf", "not exactly one subschema matched")]
+            # 0 valid → branch errors; >1 valid → single oneOf summary
+            fails = [F.when(total == 0, c) for _, bf in results for c in bf]
+            fails.append(
+                _viol(get(vkey).isNotNull() & (total > 1), "oneOf", ipath, spath,
+                      "more than one subschema matched")
+            )
+            return ok, fails
 
         subs.append(one_of)
 
@@ -476,7 +489,7 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
         def not_sub(get, ipath, child=child):
             inner_ok = F.coalesce(child(get, ipath)[0], F.lit(False))
             return ~inner_ok, [_viol(get(vkey).isNotNull() & inner_ok, "not", ipath,
-                                     f"{spath}/not", "instance matched 'not' subschema")]
+                                     spath, "instance matched 'not' subschema")]
 
         subs.append(not_sub)
 
@@ -506,7 +519,9 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
         any_fail = None
         for check in checks:
             cond, kw, msg = check(get, ipath)
-            fail_structs.append(_viol(cond, kw, ipath, f"{spath}/{kw}", msg))
+            # classic convention: schema_pointer = the schema OBJECT's path;
+            # the failing keyword rides in the keyword field
+            fail_structs.append(_viol(cond, kw, ipath, spath, msg))
             any_fail = cond if any_fail is None else (any_fail | cond)
         valid = ~F.coalesce(any_fail, F.lit(False)) if any_fail is not None else F.lit(True)
         for sub in subs:

@@ -189,18 +189,25 @@ class Evaluator:
         valid = True
 
         def fail(keyword: str, message: str, at: str = None) -> None:
+            # classic-output convention (reference result.rb:162-179): the
+            # schema pointer addresses the schema OBJECT; the failing
+            # keyword rides in the type field
             nonlocal valid
             valid = False
-            errors.append((keyword, at if at is not None else ipath, f"{spath}/{keyword}", message))
+            errors.append((keyword, at if at is not None else ipath, spath, message))
 
         # --- referencing -------------------------------------------------
         ref = schema.get("$ref")
         if isinstance(ref, str):
             try:
-                target, _res = self.registry.resolve_ref(ref, base_uri)
+                target, _res, tptr = self.registry.resolve_ref_with_pointer(ref, base_uri)
             except (KeyError, IndexError, TypeError) as exc:
                 raise SchemaCompileError(f"unresolvable $ref {ref!r}: {exc}") from exc
-            r = self._eval(target, instance, ipath, f"{spath}/$ref", scope, dialect)
+            # classic output addresses errors at the resolved TARGET's
+            # location, not through the $ref chain (schema.rb:272-283)
+            if tptr is None:
+                tptr = f"{spath}/$ref"
+            r = self._eval(target, instance, ipath, tptr, scope, dialect)
             if not merge(r):
                 valid = False
             if dialect.exclusive_ref:
@@ -226,7 +233,10 @@ class Evaluator:
         if ty is not None:
             allowed = ty if isinstance(ty, list) else [ty]
             if not any(self._type_ok(instance, t, dialect) for t in allowed):
-                fail("type", f"expected {ty}, got {json_type(instance)}")
+                # single type → error type is the expected type name
+                # (reference convention); type arrays → "type"
+                kw = ty if isinstance(ty, str) else "type"
+                fail(kw, f"expected {ty}, got {json_type(instance)}")
 
         if v_on and "enum" in schema:
             if not any(json_equal(instance, v) for v in schema["enum"]):
@@ -367,8 +377,14 @@ class Evaluator:
                 min_c = schema.get("minContains", 1) if dialect.has_min_max_contains else 1
                 max_c = schema.get("maxContains") if dialect.has_min_max_contains else None
                 if len(matched) < min_c:
-                    fail("contains" if min_c == 1 else "minContains",
-                         f"{len(matched)} items match contains, need >= {min_c}")
+                    # the reference emits BOTH: contains asserts the bound
+                    # itself AND minContains re-asserts via the annotation
+                    # (draft202012 vocab: applicator.rb:191-216 +
+                    # validation.rb:199-221)
+                    fail("contains", f"{len(matched)} items match contains, need >= {min_c}")
+                    if "minContains" in schema:
+                        fail("minContains",
+                             f"{len(matched)} items match contains, need >= {min_c}")
                 if max_c is not None and len(matched) > max_c:
                     fail("maxContains", f"{len(matched)} items match contains, need <= {max_c}")
                 items.update(matched)
@@ -394,7 +410,10 @@ class Evaluator:
                     if key in instance:
                         missing = [k for k in needs if k not in instance]
                         if missing:
-                            fail("dependentRequired", f"{key!r} present but missing {missing}")
+                            # error located at the TRIGGERING key's value
+                            fail("dependentRequired",
+                                 f"{key!r} present but missing {missing}",
+                                 at=join_pointer(ipath, key))
 
             properties = schema.get("properties")
             matched_keys: set = set()
@@ -434,7 +453,9 @@ class Evaluator:
             if dialect.has_property_names and "propertyNames" in schema:
                 sub = schema["propertyNames"]
                 for k in instance:
-                    r = self._eval(sub, k, join_pointer(ipath, k),
+                    # errors locate at the OBJECT (a key is not an
+                    # addressable instance location — reference convention)
+                    r = self._eval(sub, k, ipath,
                                    f"{spath}/propertyNames", scope, dialect)
                     if not merge(r):
                         valid = False
@@ -444,9 +465,12 @@ class Evaluator:
                 for key, dep in deps.items():
                     if key in instance:
                         if isinstance(dep, list):
+                            # unlike dependentRequired, legacy dependencies
+                            # errors locate at the OBJECT (reference conv.)
                             missing = [k for k in dep if k not in instance]
                             if missing:
-                                fail("dependencies", f"{key!r} present but missing {missing}")
+                                fail("dependencies",
+                                     f"{key!r} present but missing {missing}")
                         else:
                             r = self._eval(dep, instance, ipath,
                                            f"{spath}/dependencies/{_esc(key)}", scope, dialect)
@@ -480,11 +504,12 @@ class Evaluator:
                 for r in results:
                     merge(r, assert_=False)
             else:
+                # all branches failed: propagate branch errors only
+                # (the reference emits no anyOf summary row)
                 valid = False
                 for r in results:
                     if r.errors:
                         errors.extend(r.errors)
-                errors.append(("anyOf", ipath, f"{spath}/anyOf", "no subschema matched"))
 
         one_of = schema.get("oneOf")
         if isinstance(one_of, list):
@@ -499,11 +524,18 @@ class Evaluator:
             else:
                 valid = False
                 if n_valid == 0:
+                    # propagate branch errors (no summary — reference conv.)
                     for r in results:
                         if r.errors:
                             errors.extend(r.errors)
-                errors.append(("oneOf", ipath, f"{spath}/oneOf",
-                               f"{n_valid} subschemas matched, need exactly 1"))
+                else:
+                    # annotations of individually-valid branches survive a
+                    # multi-valid oneOf failure (reference: adjacent_results
+                    # keep dynamically-valid nested results, schema.rb:150)
+                    for r in results:
+                        merge(r, assert_=False)
+                    errors.append(("oneOf", ipath, spath,
+                                   f"{n_valid} subschemas matched, need exactly 1"))
 
         if "not" in schema:
             r = self._eval(schema["not"], instance, ipath, f"{spath}/not", scope, dialect)
@@ -553,14 +585,17 @@ class Evaluator:
         self, ref: str, instance: Any, ipath: str, spath: str,
         scope: list[Resource], dialect: Dialect, base_uri: str,
     ) -> _Result:
-        target, tres = self.registry.resolve_ref(ref, base_uri)
+        target, tres, tptr = self.registry.resolve_ref_with_pointer(ref, base_uri)
         frag = split_fragment(ref)[1]
         if frag and not frag.startswith("/") and frag in tres.dynamic_anchors:
             for res in scope:  # outermost-first
                 if frag in res.dynamic_anchors:
                     target = res.dynamic_anchors[frag]
+                    tptr = res.dynamic_anchor_ptrs.get(frag, tptr)
                     break
-        return self._eval(target, instance, ipath, f"{spath}/$dynamicRef", scope, dialect)
+        if tptr is None:
+            tptr = f"{spath}/$dynamicRef"
+        return self._eval(target, instance, ipath, tptr, scope, dialect)
 
     def _eval_recursive_ref(
         self, instance: Any, ipath: str, spath: str,
@@ -573,7 +608,9 @@ class Evaluator:
                 if res.recursive_anchor:
                     target = res.root
                     break
-        return self._eval(target, instance, ipath, f"{spath}/$recursiveRef", scope, dialect)
+        tinfo = self.registry.info(target)
+        tptr = tinfo.pointer if tinfo is not None else f"{spath}/$recursiveRef"
+        return self._eval(target, instance, ipath, tptr, scope, dialect)
 
     # -- type dispatch ----------------------------------------------------------
 

@@ -61,6 +61,10 @@ class Resource:
     anchors: dict[str, Any] = field(default_factory=dict)
     dynamic_anchors: dict[str, Any] = field(default_factory=dict)
     recursive_anchor: bool = False
+    # document-relative pointers for anchor targets (boolean schemas have
+    # no identity, so pointers cannot always be recovered from _info)
+    anchor_ptrs: dict[str, str] = field(default_factory=dict)
+    dynamic_anchor_ptrs: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -68,6 +72,10 @@ class SchemaInfo:
     resource: "Resource"
     base_uri: str
     dialect: Dialect
+    # JSON pointer of this schema within its enclosing DOCUMENT (the
+    # add_document root) — the reference's classic output addresses error
+    # schema locations this way (schema.rb:272-283)
+    pointer: str = ""
 
 
 class Registry:
@@ -111,7 +119,7 @@ class Registry:
 
         resource = Resource(uri=base_uri, root=document, dialect=dialect)
         self.resources[base_uri] = resource
-        self._walk(document, resource, base_uri, dialect)
+        self._walk(document, resource, base_uri, dialect, "")
         return resource
 
     def _register_subresource(
@@ -121,7 +129,7 @@ class Registry:
         self.resources[uri] = resource
         return resource
 
-    def _walk(self, schema: Any, resource: Resource, base_uri: str, dialect: Dialect) -> None:
+    def _walk(self, schema: Any, resource: Resource, base_uri: str, dialect: Dialect, pointer: str) -> None:
         if isinstance(schema, bool):
             return
         if not isinstance(schema, dict):
@@ -149,11 +157,14 @@ class Registry:
         anchor = schema.get("$anchor")
         if dialect.has_dollar_anchor and isinstance(anchor, str):
             resource.anchors[anchor] = schema
+            resource.anchor_ptrs[anchor] = pointer
 
         dyn = schema.get("$dynamicAnchor")
         if dialect.has_dynamic_ref and isinstance(dyn, str):
             resource.dynamic_anchors[dyn] = schema
+            resource.dynamic_anchor_ptrs[dyn] = pointer
             resource.anchors.setdefault(dyn, schema)
+            resource.anchor_ptrs.setdefault(dyn, pointer)
 
         if (
             dialect.has_recursive_ref
@@ -162,33 +173,39 @@ class Registry:
         ):
             resource.recursive_anchor = True
 
-        self._info[id(schema)] = SchemaInfo(resource=resource, base_uri=base_uri, dialect=dialect)
+        self._info[id(schema)] = SchemaInfo(
+            resource=resource, base_uri=base_uri, dialect=dialect, pointer=pointer
+        )
+
+        def esc(token: str) -> str:
+            return token.replace("~", "~0").replace("/", "~1")
 
         for keyword, value in schema.items():
             shape = KEYWORD_SHAPES.get(keyword)
             if shape is None:
                 continue
+            kp = f"{pointer}/{esc(keyword)}"
             if shape == SCHEMA_VALUE:
-                self._walk(value, resource, base_uri, dialect)
+                self._walk(value, resource, base_uri, dialect, kp)
             elif shape == SCHEMA_LIST:
                 if isinstance(value, list):
-                    for sub in value:
-                        self._walk(sub, resource, base_uri, dialect)
+                    for i, sub in enumerate(value):
+                        self._walk(sub, resource, base_uri, dialect, f"{kp}/{i}")
             elif shape == SCHEMA_MAP:
                 if isinstance(value, dict):
-                    for sub in value.values():
-                        self._walk(sub, resource, base_uri, dialect)
+                    for key, sub in value.items():
+                        self._walk(sub, resource, base_uri, dialect, f"{kp}/{esc(key)}")
             elif shape == SCHEMA_OR_LIST:
                 if isinstance(value, list):
-                    for sub in value:
-                        self._walk(sub, resource, base_uri, dialect)
+                    for i, sub in enumerate(value):
+                        self._walk(sub, resource, base_uri, dialect, f"{kp}/{i}")
                 else:
-                    self._walk(value, resource, base_uri, dialect)
+                    self._walk(value, resource, base_uri, dialect, kp)
             elif shape == DEPENDENCIES:
                 if isinstance(value, dict):
-                    for sub in value.values():
+                    for key, sub in value.items():
                         if not isinstance(sub, list):
-                            self._walk(sub, resource, base_uri, dialect)
+                            self._walk(sub, resource, base_uri, dialect, f"{kp}/{esc(key)}")
 
     def _dialect_for_uri(self, schema_uri: str, fallback: Dialect) -> Dialect:
         """Known draft URI → its Dialect; custom meta-schema URI → fetch it
@@ -221,6 +238,16 @@ class Registry:
 
     def resolve_ref(self, ref: str, base_uri: str) -> tuple[Any, Resource]:
         """Resolve a ``$ref`` URI → (schema value, owning resource)."""
+        target, resource, _ptr = self.resolve_ref_with_pointer(ref, base_uri)
+        return target, resource
+
+    def resolve_ref_with_pointer(
+        self, ref: str, base_uri: str
+    ) -> tuple[Any, Resource, Optional[str]]:
+        """→ (schema value, owning resource, document-relative pointer).
+
+        Pointer is resolvable even for boolean targets (which carry no
+        object identity for the _info map)."""
         absolute = resolve_uri(base_uri, ref)
         res_uri, fragment = split_fragment(absolute)
         resource = self.resources.get(res_uri)
@@ -229,19 +256,22 @@ class Registry:
         if resource is None:
             raise KeyError(f"unresolvable $ref: {absolute!r} (base {base_uri!r})")
 
+        root_info = self._info.get(id(resource.root))
+        root_ptr = root_info.pointer if root_info else ""
         if not fragment:
-            return resource.root, resource
+            return resource.root, resource, root_ptr
         fragment = urllib.parse.unquote(fragment)
         if fragment.startswith("/"):
             target = resolve_json_pointer(resource.root, fragment)
-            # the pointer may land inside a nested $id resource
             info = self._info.get(id(target))
             owner = info.resource if info else resource
-            return target, owner
+            ptr = info.pointer if info else f"{root_ptr}{fragment}"
+            return target, owner, ptr
         if fragment in resource.anchors:
             target = resource.anchors[fragment]
             info = self._info.get(id(target))
-            return target, (info.resource if info else resource)
+            ptr = info.pointer if info else resource.anchor_ptrs.get(fragment)
+            return target, (info.resource if info else resource), ptr
         raise KeyError(f"anchor {fragment!r} not found in {res_uri!r}")
 
     def _fetch(self, uri: str) -> Optional[Resource]:

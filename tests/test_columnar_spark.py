@@ -75,4 +75,5 @@ def test_violation_pointers(spark):
     flat = [(v.keyword, v.instance_pointer) for r in rows for v in r.violations]
     assert ("minimum", "/a") in flat
     assert ("required", "") in flat
-    assert ("type", "/a") in flat
+    # single-type failures carry the expected type name (classic convention)
+    assert ("integer", "/a") in flat
