@@ -36,25 +36,63 @@ class CompiledSchema:
         ref_resolver: Optional[Callable[[str], Any]] = None,
         assert_formats: bool = False,
         base_uri: str = DEFAULT_BASE_URI,
+        formats: Optional[dict[str, Callable]] = None,
+        keywords: Optional[dict[str, Callable]] = None,
     ) -> None:
         if isinstance(schema, str):
             schema = json.loads(schema)
         self.schema = schema
         self.assert_formats = assert_formats
+        self.formats = formats
+        self.keywords = keywords
         self._evaluator = Evaluator(
             schema,
             base_uri=base_uri,
             dialect=dialect or DEFAULT_DIALECT,
             ref_resolver=ref_resolver,
             assert_formats=assert_formats,
+            formats=formats,
+            keywords=keywords,
         )
         # registry-derived: honors $schema dispatch incl. custom $vocabulary
         self.dialect = self._evaluator.root_resource.dialect
 
     # -- driver-side single-value API (tests / small data) -------------------
 
-    def validate_value(self, instance: Any) -> dict[str, Any]:
-        return self._evaluator.validate(instance)
+    def validate_value(self, instance: Any, output_format: str = "classic") -> Any:
+        """Single-value validation in one of the reference's output formats
+        (result.rb:13-28): flag | classic | basic | detailed.
+
+        - flag:     {"valid": bool}
+        - classic:  list of error rows (default; empty when valid)
+        - basic:    2019-09 style {"valid", "errors": [...]} with
+                    instanceLocation/keywordLocation keys
+        - detailed: classic errors grouped by instance location
+        """
+        res = self._evaluator.validate(instance)
+        if output_format == "flag":
+            return {"valid": res["valid"]}
+        if output_format == "classic":
+            return res["errors"]
+        if output_format == "basic":
+            return {
+                "valid": res["valid"],
+                "errors": [
+                    {
+                        "instanceLocation": e["instance_pointer"],
+                        "keywordLocation": e["schema_pointer"],
+                        "error": e["message"],
+                        "type": e["keyword"],
+                    }
+                    for e in res["errors"]
+                ],
+            }
+        if output_format == "detailed":
+            grouped: dict[str, list] = {}
+            for e in res["errors"]:
+                grouped.setdefault(e["instance_pointer"], []).append(e)
+            return {"valid": res["valid"], "errors_by_location": grouped}
+        raise ValueError(f"unknown output_format {output_format!r}")
 
     def valid_value(self, instance: Any) -> bool:
         return self._evaluator.valid(instance)
@@ -62,7 +100,13 @@ class CompiledSchema:
     # -- Spark API ------------------------------------------------------------
 
     def is_lowerable(self) -> bool:
-        """True when the whole plan lowers to pure Column expressions."""
+        """True when the whole plan lowers to pure Column expressions.
+
+        Format assertion and custom keywords force the interpreter tier —
+        the lowering treats ``format`` as an annotation and knows nothing
+        about user callables."""
+        if self.assert_formats or self.keywords:
+            return False
         from json_schemer_spark.schema.columnar import lowerable
 
         return lowerable(self.schema, self.dialect)
@@ -92,7 +136,9 @@ class CompiledSchema:
         schema_json = json.dumps(self.schema)
         dialect_name = self.dialect.name
         assert_formats = self.assert_formats
-        out_ddl = df.schema.simpleString()  # not used; keep explicit below
+        # user extension callables ride the pickled closure to executors
+        formats = self.formats
+        keywords = self.keywords
 
         result_schema = _append_fields(df.schema)
 
@@ -104,6 +150,8 @@ class CompiledSchema:
                 json.loads(schema_json),
                 dialect=DIALECTS_BY_NAME[dialect_name],
                 assert_formats=assert_formats,
+                formats=formats,
+                keywords=keywords,
             )
             for pdf in batches:
                 contents = pdf[content_col]
@@ -161,7 +209,14 @@ def compile_schema(
     dialect: Optional[Dialect] = None,
     ref_resolver: Optional[Callable[[str], Any]] = None,
     assert_formats: bool = False,
+    formats: Optional[dict[str, Callable]] = None,
+    keywords: Optional[dict[str, Callable]] = None,
 ) -> CompiledSchema:
     return CompiledSchema(
-        schema, dialect=dialect, ref_resolver=ref_resolver, assert_formats=assert_formats
+        schema,
+        dialect=dialect,
+        ref_resolver=ref_resolver,
+        assert_formats=assert_formats,
+        formats=formats,
+        keywords=keywords,
     )

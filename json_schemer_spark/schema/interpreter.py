@@ -71,6 +71,7 @@ class Evaluator:
         ref_resolver: Optional[Callable[[str], Any]] = None,
         assert_formats: bool = False,
         formats: Optional[dict[str, Callable[[Any, Any], bool]]] = None,
+        keywords: Optional[dict[str, Callable]] = None,
     ) -> None:
         if not isinstance(root_schema, (dict, bool)):
             raise SchemaCompileError(f"schema must be an object or boolean, got {type(root_schema)}")
@@ -86,6 +87,10 @@ class Evaluator:
 
             formats = FORMAT_CHECKS
         self.formats = formats or {}
+        # custom keywords: name -> callable(data, schema_value, pointer)
+        # returning bool OR a list of error-type strings (reference:
+        # schema.rb:153-166, the `keywords:` option)
+        self.custom_keywords = keywords or {}
         self._regex_cache: dict[str, Any] = {}
 
     # -- public API -------------------------------------------------------
@@ -555,6 +560,18 @@ class Evaluator:
                     r = self._eval(schema["else"], instance, ipath, f"{spath}/else", scope, dialect)
                     if not merge(r):
                         valid = False
+
+        # --- custom keywords (extension surface, §2.7) ---------------------------
+        for kw, fn in self.custom_keywords.items():
+            if kw in schema:
+                result = fn(instance, schema[kw], ipath)
+                if result is True or result is None:
+                    pass
+                elif result is False:
+                    fail(kw, f"custom keyword {kw!r} failed")
+                elif isinstance(result, (list, tuple)):
+                    for err_type in result:
+                        fail(str(err_type), f"custom keyword {kw!r}: {err_type}")
 
         # --- unevaluated* (consume annotations; must run last — §2.6) -----------
         if dialect.has_unevaluated:

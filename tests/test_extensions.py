@@ -1,0 +1,82 @@
+"""Extension surface (§2.7): custom keywords, custom formats, output
+formats — incl. the callables riding to executors through mapInPandas."""
+
+import pyspark.sql.functions as F
+
+from json_schemer_spark import compile_schema
+
+
+def _even_keyword(data, schema_value, pointer):
+    """custom keyword: value must be even when schema says {"even": true}"""
+    if schema_value is True and isinstance(data, int):
+        return data % 2 == 0
+    return True
+
+
+def _palindrome_format(value, fmt):
+    return value == value[::-1]
+
+
+def test_custom_keyword_driver_side():
+    plan = compile_schema(
+        {"type": "integer", "even": True}, keywords={"even": _even_keyword}
+    )
+    assert plan.valid_value(4)
+    assert not plan.valid_value(3)
+    errs = plan.validate_value(3)
+    assert errs[0]["keyword"] == "even"
+
+
+def test_custom_keyword_error_list():
+    def classify(data, schema_value, pointer):
+        problems = []
+        if isinstance(data, str) and data.islower():
+            problems.append("all_lower")
+        if isinstance(data, str) and len(data) < 3:
+            problems.append("too_short")
+        return problems
+
+    plan = compile_schema({"check": True}, keywords={"check": classify})
+    assert plan.valid_value("Hello")
+    errs = plan.validate_value("ab")
+    assert {e["keyword"] for e in errs} == {"all_lower", "too_short"}
+
+
+def test_custom_format():
+    plan = compile_schema(
+        {"type": "string", "format": "palindrome"},
+        assert_formats=True,
+        formats={"palindrome": lambda v, f: v == v[::-1]},
+    )
+    assert plan.valid_value("racecar")
+    assert not plan.valid_value("spark")
+
+
+def test_custom_keyword_on_executors(spark):
+    # defined as a closure: cloudpickle ships it BY VALUE — module-level
+    # functions pickle by reference and must be importable on executors
+    def even_kw(data, schema_value, pointer):
+        if schema_value is True and isinstance(data, int):
+            return data % 2 == 0
+        return True
+
+    plan = compile_schema(
+        {"type": "object", "properties": {"n": {"type": "integer", "even": True}}},
+        keywords={"even": even_kw},
+    )
+    assert not plan.is_lowerable()  # custom keywords force the interpreter tier
+    df = spark.createDataFrame([('{"n": 4}',), ('{"n": 3}',)], "content string")
+    rows = plan.validate_json_column(df, "content").select("valid").collect()
+    assert [r.valid for r in rows] == [True, False]
+
+
+def test_output_formats():
+    plan = compile_schema({"type": "integer", "minimum": 3})
+    assert plan.validate_value(1, "flag") == {"valid": False}
+    classic = plan.validate_value(1, "classic")
+    assert classic[0]["keyword"] == "minimum"
+    basic = plan.validate_value(1, "basic")
+    assert basic["errors"][0]["instanceLocation"] == ""
+    detailed = plan.validate_value(1, "detailed")
+    assert "" in detailed["errors_by_location"]
+    assert plan.validate_value(5, "classic") == []
