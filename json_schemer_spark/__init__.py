@@ -24,16 +24,23 @@ from json_schemer_spark.schema.dialects import (
     DRAFT7,
     DRAFT201909,
     DRAFT202012,
+    OPENAPI30,
+    OPENAPI31,
 )
+from json_schemer_spark.schema.openapi import OpenAPIDocument, openapi
 
 __all__ = [
     "compile_schema",
     "CompiledSchema",
+    "openapi",
+    "OpenAPIDocument",
     "DRAFT4",
     "DRAFT6",
     "DRAFT7",
     "DRAFT201909",
     "DRAFT202012",
+    "OPENAPI30",
+    "OPENAPI31",
 ]
 
 __version__ = "0.1.0"

@@ -24,44 +24,203 @@ Physical shape (two projections, deliberately kept apart):
 Keyword semantics mirror the reference's type-guarded vacuous-pass model
 (draft202012/vocab/validation.rb — e.g. ``maximum`` ignores strings at
 validation.rb:101): a missing/other-typed value yields NULL → no violation.
+
+Coverage (round 2 widening — see the interpreter tier for the general
+case): scalar keywords, applicators (properties/patternProperties/
+additionalProperties/propertyNames, prefixItems/items/additionalItems,
+contains/min/maxContains, allOf/anyOf/oneOf/not/if-then-else,
+dependencies/dependentRequired/dependentSchemas), uniqueItems, composite
+enum/const (canonical-JSON equality), static-document ``$ref`` (compile-time
+inlining), and the static-coverage cases of unevaluatedProperties/Items.
+
+Numeric comparisons are exact beyond 2^53: compare doubles first, then
+tie-break equal doubles through the decimal(38,12) view (JSON big-int
+fidelity — SURVEY.md §7.3.2; reference uses BigDecimal, validation.rb:91).
+
+Known data-dependent edge cases that stay on the columnar tier (documented
+trade-offs, all outside the conformance suite's cases):
+- uniqueItems equates numbers via the decimal(38,12) view → values smaller
+  than 1e-12 collapse to 0; exponent-form vs plain-form numbers nested in
+  composites compare by serialization.
+- composite enum/const require number-free or exactly-serializable nested
+  numbers (gated at compile time; others fall back to the interpreter).
 """
 
 from __future__ import annotations
 
+import json
 import re
+from decimal import Decimal
 from typing import Any, Callable
 
 from json_schemer_spark.schema.dialects import Dialect
-
-_SIMPLE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 _ANNOTATIONS = {
     "title", "description", "default", "examples", "$comment", "deprecated",
     "readOnly", "writeOnly", "$schema", "$id", "id", "format", "$defs",
     "definitions", "$anchor", "contentMediaType", "contentEncoding",
+    "contentSchema", "$vocabulary",
 }
-_SUPPORTED = {
-    "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
-    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
-    "required", "properties", "items", "minItems", "maxItems",
-    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+
+# Keywords that are assertions/applicators in at least one dialect. Anything
+# outside this set (and _ANNOTATIONS) is an unknown keyword → annotation,
+# always valid (reference core.rb:128-156).
+_MEANINGFUL = {
+    "type", "enum", "const", "multipleOf", "maximum", "minimum",
+    "exclusiveMaximum", "exclusiveMinimum", "maxLength", "minLength",
+    "pattern", "maxItems", "minItems", "uniqueItems", "maxContains",
+    "minContains", "maxProperties", "minProperties", "required",
+    "dependentRequired", "contains", "items", "prefixItems",
+    "additionalItems", "properties", "patternProperties",
+    "additionalProperties", "propertyNames", "dependencies",
+    "dependentSchemas", "allOf", "anyOf", "oneOf", "not", "if", "then",
+    "else", "$ref", "$dynamicRef", "$recursiveRef", "unevaluatedItems",
+    "unevaluatedProperties",
 }
 
 _SCALARS = (str, int, float, bool, type(None))
 _NUMERIC_TAGS = ("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT")
+_VIOL_DDL = (
+    "struct<keyword:string,instance_pointer:string,"
+    "schema_pointer:string,message:string>"
+)
 
 
 class Unsupported(Exception):
     """Schema outside the columnar subset → interpreter tier."""
 
 
+def _esc(token: str) -> str:
+    """JSON-pointer token escape (RFC 6901)."""
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+# ---------------------------------------------------------------------------
+# $ref inlining pre-pass (driver-side, static documents only)
+# ---------------------------------------------------------------------------
+
+def _resolve_pointer(doc: Any, pointer: str) -> Any:
+    node = doc
+    if pointer in ("", "#"):
+        return node
+    for raw in pointer.lstrip("/").split("/"):
+        token = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, dict):
+            if token not in node:
+                raise Unsupported(f"$ref pointer {pointer!r}: missing {token!r}")
+            node = node[token]
+        elif isinstance(node, list):
+            try:
+                node = node[int(token)]
+            except (ValueError, IndexError) as exc:
+                raise Unsupported(f"$ref pointer {pointer!r}: {exc}") from exc
+        else:
+            raise Unsupported(f"$ref pointer {pointer!r} into non-container")
+    return node
+
+
+def inline_refs(schema: Any, dialect: Dialect) -> Any:
+    """Inline same-document, acyclic ``$ref`` JSON-pointer targets.
+
+    The general resolver (registry.py) handles base-URI rebinding, anchors,
+    remote and cyclic refs — all of those raise :class:`Unsupported` here and
+    fall back to the interpreter tier. Drafts ≤7 replace siblings
+    (schema.rb:384-395); modern drafts conjoin via allOf.
+    """
+    if not isinstance(schema, (dict, bool)):
+        raise Unsupported("non-dict schema")
+
+    rebinding = {dialect.id_keyword}
+    if dialect.has_dollar_anchor:
+        rebinding.add("$anchor")
+    if dialect.has_dynamic_ref:
+        rebinding.add("$dynamicAnchor")
+    if dialect.has_recursive_ref:
+        rebinding.add("$recursiveAnchor")
+
+    from json_schemer_spark.schema.dialects import (
+        DEPENDENCIES,
+        KEYWORD_SHAPES,
+        SCHEMA_LIST,
+        SCHEMA_MAP,
+        SCHEMA_OR_LIST,
+        SCHEMA_VALUE,
+    )
+
+    def walk(node: Any, stack: tuple) -> Any:
+        """Walk SCHEMA positions only — enum/const/default members and
+        unknown-keyword values are data, never rewritten (a `$ref` key
+        inside an enum member is a literal, suite draft4 enum.json trap)."""
+        if not isinstance(node, dict):
+            return node
+        if node is not schema and any(k in node for k in rebinding):
+            # nested $id/$anchor rebinds the base URI — general resolver only
+            raise Unsupported("nested $id/$anchor rebinding")
+        ref = node.get("$ref")
+        target = None
+        if isinstance(ref, str):
+            if not ref.startswith("#"):
+                raise Unsupported(f"non-local $ref {ref!r}")
+            if ref in stack:
+                raise Unsupported(f"cyclic $ref {ref!r}")
+            if len(stack) > 32:
+                raise Unsupported("$ref nesting too deep")
+            target = walk(_resolve_pointer(schema, ref[1:]), stack + (ref,))
+            siblings = {k: v for k, v in node.items() if k != "$ref"}
+            if dialect.exclusive_ref or not any(
+                k for k in siblings if k not in ("$defs", "definitions")
+            ):
+                return target
+            # modern drafts: keep siblings at THIS node and hoist the target
+            # into allOf — unevaluated* must still see the target's
+            # annotations as adjacent (suite: "unevaluatedItems with $ref")
+            node = siblings
+        out = {}
+        for kw, val in node.items():
+            shape = KEYWORD_SHAPES.get(kw)
+            if shape is None:
+                out[kw] = val
+            elif shape == SCHEMA_VALUE:
+                out[kw] = walk(val, stack)
+            elif shape == SCHEMA_LIST:
+                out[kw] = [walk(s, stack) for s in val] if isinstance(val, list) else val
+            elif shape == SCHEMA_MAP:
+                out[kw] = (
+                    {k: walk(s, stack) for k, s in val.items()}
+                    if isinstance(val, dict) else val
+                )
+            elif shape == SCHEMA_OR_LIST:
+                out[kw] = (
+                    [walk(s, stack) for s in val] if isinstance(val, list)
+                    else walk(val, stack)
+                )
+            elif shape == DEPENDENCIES:
+                out[kw] = (
+                    {k: (s if isinstance(s, list) else walk(s, stack))
+                     for k, s in val.items()}
+                    if isinstance(val, dict) else val
+                )
+        if target is not None:
+            out["allOf"] = [target] + list(out.get("allOf") or [])
+        return out
+
+    return walk(schema, ())
+
+
 # ---------------------------------------------------------------------------
 # driver-side subset check (cheap, no Spark imports)
 # ---------------------------------------------------------------------------
 
+def prepare(schema: Any, dialect: Dialect) -> Any:
+    """Inline refs + verify lowerable; returns the inlined schema."""
+    inlined = inline_refs(schema, dialect)
+    _check(inlined, dialect)
+    return inlined
+
+
 def lowerable(schema: Any, dialect: Dialect) -> bool:
     try:
-        _check(schema, dialect)
+        prepare(schema, dialect)
         return True
     except Unsupported:
         return False
@@ -72,86 +231,377 @@ def _check(schema: Any, dialect: Dialect) -> None:
         return
     if not isinstance(schema, dict):
         raise Unsupported("non-dict schema")
-    if not dialect.vocab_enabled("validation"):
+    if not dialect.vocab_enabled("validation") or not dialect.vocab_enabled("applicator"):
         raise Unsupported("custom vocabulary gating")
+    if dialect.enabled_vocabs is not None and "format-assertion" in dialect.enabled_vocabs:
+        raise Unsupported("format-assertion vocabulary")
+    if dialect.openapi and isinstance(schema.get("discriminator"), dict):
+        raise Unsupported("OpenAPI discriminator")
+
     for kw, val in schema.items():
         if kw in _ANNOTATIONS:
+            # draft7 asserts content keywords (draft7/vocab/validation.rb:38-65)
+            if dialect.content_assertion and kw in ("contentEncoding", "contentMediaType"):
+                raise Unsupported("draft7 content assertion")
             continue
-        if kw not in _SUPPORTED:
-            raise Unsupported(f"keyword {kw!r}")
+        if kw not in _MEANINGFUL:
+            continue  # unknown keyword → annotation
+        if kw in ("$dynamicRef", "$recursiveRef"):
+            if dialect.has_dynamic_ref or dialect.has_recursive_ref:
+                raise Unsupported(kw)
+            continue
+        if kw == "$ref":
+            raise Unsupported("$ref survived inlining")
         if kw == "enum":
-            if not all(isinstance(x, _SCALARS) for x in val):
-                raise Unsupported("composite enum member")
+            if not isinstance(val, list):
+                raise Unsupported("enum not a list")
+            for x in val:
+                if not isinstance(x, _SCALARS):
+                    _canonical_json(x)  # raises if not representable
         elif kw == "const":
-            if not isinstance(val, _SCALARS):
-                raise Unsupported("composite const")
+            if dialect.has_const and not isinstance(val, _SCALARS):
+                _canonical_json(val)
         elif kw == "properties":
-            for key, sub in val.items():
-                if not _SIMPLE_KEY.match(key):
-                    raise Unsupported(f"non-simple property key {key!r}")
+            if not isinstance(val, dict):
+                raise Unsupported("properties not a dict")
+            for sub in val.values():
                 _check(sub, dialect)
+        elif kw == "patternProperties":
+            if not isinstance(val, dict):
+                raise Unsupported("patternProperties not a dict")
+            for pattern, sub in val.items():
+                _java_pattern(pattern)
+                _check(sub, dialect)
+        elif kw in ("additionalProperties", "not", "contains"):
+            if kw == "contains" and not dialect.has_contains:
+                continue
+            _check(val, dialect)
+        elif kw in ("if", "then", "else"):
+            if dialect.has_if_then_else:
+                _check(val, dialect)
+        elif kw == "propertyNames":
+            if dialect.has_property_names:
+                _check_string_pred(val, dialect)
         elif kw == "items":
             if isinstance(val, list):
-                raise Unsupported("array-form items")
-            _check(val, dialect)
+                if dialect.has_prefix_items or not dialect.array_form_items:
+                    raise Unsupported("array-form items in modern draft")
+                for sub in val:
+                    _check(sub, dialect)
+            else:
+                _check(val, dialect)
+        elif kw == "prefixItems":
+            if dialect.has_prefix_items:
+                if not isinstance(val, list):
+                    raise Unsupported("prefixItems not a list")
+                for sub in val:
+                    _check(sub, dialect)
+        elif kw == "additionalItems":
+            if dialect.array_form_items and isinstance(schema.get("items"), list):
+                _check(val, dialect)
         elif kw in ("allOf", "anyOf", "oneOf"):
-            if not isinstance(val, list):
-                raise Unsupported(f"{kw} not a list")
+            if not isinstance(val, list) or not val:
+                raise Unsupported(f"{kw} not a non-empty list")
             for sub in val:
                 _check(sub, dialect)
-        elif kw in ("not", "if", "then", "else"):
-            _check(val, dialect)
         elif kw == "multipleOf":
-            if not isinstance(val, (int, float)) or val <= 0:
+            if not isinstance(val, (int, float)) or isinstance(val, bool) or val <= 0:
                 raise Unsupported("non-positive multipleOf")
+            _dec_repr(val)  # must be decimal-exact for the modulo
         elif kw == "required":
-            if not isinstance(val, list) or not all(
-                isinstance(k, str) and _SIMPLE_KEY.match(k) for k in val
-            ):
-                raise Unsupported("non-simple required key")
+            if not isinstance(val, list) or not all(isinstance(k, str) for k in val):
+                raise Unsupported("bad required list")
+        elif kw == "dependentRequired":
+            if dialect.has_dependent_keywords:
+                if not isinstance(val, dict) or not all(
+                    isinstance(v, list) and all(isinstance(k, str) for k in v)
+                    for v in val.values()
+                ):
+                    raise Unsupported("bad dependentRequired")
+        elif kw == "dependentSchemas":
+            if dialect.has_dependent_keywords:
+                if not isinstance(val, dict):
+                    raise Unsupported("bad dependentSchemas")
+                for sub in val.values():
+                    _check(sub, dialect)
+        elif kw == "dependencies":
+            if dialect.has_legacy_dependencies:
+                if not isinstance(val, dict):
+                    raise Unsupported("bad dependencies")
+                for dep in val.values():
+                    if isinstance(dep, list):
+                        if not all(isinstance(k, str) for k in dep):
+                            raise Unsupported("bad dependencies array")
+                    else:
+                        _check(dep, dialect)
         elif kw == "pattern":
-            _java_safe_pattern(val)
+            _java_pattern(val)
+        elif kw == "uniqueItems":
+            if val not in (True, False):
+                raise Unsupported("bad uniqueItems")
+        elif kw in ("maxItems", "minItems", "maxLength", "minLength",
+                    "maxProperties", "minProperties", "maxContains", "minContains"):
+            if not isinstance(val, int) or isinstance(val, bool) or val < 0:
+                raise Unsupported(f"bad {kw}")
+        elif kw in ("maximum", "minimum", "exclusiveMaximum", "exclusiveMinimum"):
+            pass  # numeric-or-ignored; draft4 boolean forms handled in lowering
+        elif kw == "type":
+            types = val if isinstance(val, list) else [val]
+            for t in types:
+                if t not in ("null", "boolean", "number", "integer", "string", "array", "object"):
+                    raise Unsupported(f"unknown type {t!r}")
+        elif kw in ("unevaluatedProperties", "unevaluatedItems"):
+            if dialect.has_unevaluated:
+                _check(val, dialect)
+                if kw == "unevaluatedProperties":
+                    _prop_coverage(schema, dialect, top=True)
+                else:
+                    _item_coverage(schema, dialect, top=True)
+        # "then"/"else" without "if", min/maxContains without contains,
+        # additionalItems without array items: ignored like the interpreter
 
 
-def _java_safe_pattern(pattern: str) -> str:
-    """Reject regex constructs whose Java semantics diverge from ECMA/Python
-    (mirrors the reject-unsupported-token stance of the reference's
-    ecma_regexp.rb:38-49 translator, inverted for Java)."""
-    if re.search(r"\\[AzZG]|\(\?<[=!]|\\p\{|\\c[A-Z]|\[\[", pattern):
-        raise Unsupported(f"pattern {pattern!r} outside the Java-safe subset")
+# --- static annotation-coverage analysis for unevaluated* (SURVEY.md §2.6:
+# the "compile-time complement" fast path; data-dependent branch shapes fall
+# back to the interpreter) -----------------------------------------------------
+
+_DYNAMIC_FOR_UNEVAL = ("anyOf", "oneOf", "if", "dependentSchemas", "$ref",
+                       "$dynamicRef", "$recursiveRef", "not")
+
+
+def _no_dynamic_branches(schema: dict, dialect: Dialect) -> None:
+    for k in _DYNAMIC_FOR_UNEVAL:
+        if k in schema:
+            if k == "if" and not dialect.has_if_then_else:
+                continue
+            if k == "dependentSchemas" and not dialect.has_dependent_keywords:
+                continue
+            if k == "not":
+                continue  # `not` never contributes annotations (valid ⇢ sub failed)
+            raise Unsupported(f"unevaluated* with data-dependent {k}")
+    deps = schema.get("dependencies")
+    if dialect.has_legacy_dependencies and isinstance(deps, dict):
+        if any(not isinstance(v, list) for v in deps.values()):
+            raise Unsupported("unevaluated* with schema-form dependencies")
+
+
+def _prop_coverage(schema: Any, dialect: Dialect, top: bool = False):
+    """(names, patterns, all_eval) statically evaluated at this node."""
+    if schema is True or schema is False or not isinstance(schema, dict):
+        return set(), [], False
+    _no_dynamic_branches(schema, dialect)
+    names = set(schema.get("properties") or {})
+    patterns = list(schema.get("patternProperties") or {})
+    all_eval = "additionalProperties" in schema or (
+        not top and "unevaluatedProperties" in schema
+    )
+    for sub in schema.get("allOf") or []:
+        n, p, a = _prop_coverage(sub, dialect)
+        names |= n
+        patterns += p
+        all_eval = all_eval or a
+    return names, patterns, all_eval
+
+
+def _item_coverage(schema: Any, dialect: Dialect, top: bool = False):
+    """(prefix_len, all_items, contains_subschemas) statically evaluated."""
+    if schema is True or schema is False or not isinstance(schema, dict):
+        return 0, False, []
+    _no_dynamic_branches(schema, dialect)
+    plen, allit, cpreds = 0, False, []
+    it = schema.get("items")
+    if dialect.has_prefix_items:
+        if isinstance(schema.get("prefixItems"), list):
+            plen = len(schema["prefixItems"])
+        if it is not None:
+            allit = True
+    elif dialect.array_form_items:
+        if isinstance(it, list):
+            plen = len(it)
+            if schema.get("additionalItems") is not None:
+                allit = True
+        elif it is not None:
+            allit = True
+    if not top and "unevaluatedItems" in schema:
+        allit = True
+    if dialect.has_contains and "contains" in schema:
+        cpreds.append(schema["contains"])
+    for sub in schema.get("allOf") or []:
+        p, a, c = _item_coverage(sub, dialect)
+        plen = max(plen, p)
+        allit = allit or a
+        cpreds += c
+    return plen, allit, cpreds
+
+
+# ---------------------------------------------------------------------------
+# ECMA → Java pattern translation / gating
+# ---------------------------------------------------------------------------
+
+_QUANT = re.compile(r"\{\d+(,\d*)?\}")
+
+
+def _java_pattern(pattern: str) -> str:
+    """ECMA pattern → Java regex for ``rlike``, or raise Unsupported.
+
+    Mirrors the reject-unsupported-token stance of the reference's
+    ecma_regexp.rb:38-49 translator: constructs whose Java semantics can't
+    be made ECMA-equal fall back to the interpreter tier (which uses the
+    Python-flavor translation)."""
+    if not isinstance(pattern, str):
+        raise Unsupported("non-string pattern")
+    # scan with escape/class tracking: reject Java-divergent constructs
+    i, n, in_class = 0, len(pattern), False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            if pattern[i + 1] in "AzZG":
+                raise Unsupported(f"\\{pattern[i + 1]} is literal in ECMA, anchor in Java")
+            i += 2
+            continue
+        if in_class:
+            if ch == "[":
+                raise Unsupported("'[' inside class: Java nested class, ECMA literal")
+            if ch == "&" and pattern[i + 1 : i + 2] == "&":
+                raise Unsupported("'&&' inside class: Java intersection, ECMA literal")
+            if ch == "]":
+                in_class = False
+        else:
+            if ch == "[":
+                in_class = True
+                if pattern[i + 1 : i + 2] == "^" and pattern[i + 2 : i + 3] == "]":
+                    i += 3
+                    continue
+                if pattern[i + 1 : i + 2] == "]":
+                    i += 2
+                    continue
+            elif ch == "{":
+                if not _QUANT.match(pattern, i):
+                    raise Unsupported("dangling '{': literal in ECMA, error in Java")
+        i += 1
+    if in_class:
+        raise Unsupported("unterminated character class")
+
+    from json_schemer_spark.schema.ecma_regex import EcmaRegexError, compile_ecma, translate
+
     try:
-        re.compile(pattern)
-    except re.error as exc:
-        raise Unsupported(f"invalid pattern: {exc}") from exc
-    return pattern
+        compile_ecma(pattern)  # ECMA-validity witness (python flavor compiles)
+        return translate(pattern, flavor="java")
+    except EcmaRegexError as exc:
+        raise Unsupported(f"pattern {pattern!r}: {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# canonical JSON for composite enum/const (matches Spark to_json(variant):
+# sorted keys, compact separators, canonical number forms)
+# ---------------------------------------------------------------------------
+
+def _canonical_json(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, int):
+        if abs(v) >= 10**38:
+            raise Unsupported("integer beyond decimal(38) in composite literal")
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise Unsupported("non-finite float in composite literal")
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
+        r = repr(v)
+        if "e" in r or "E" in r or len(r.replace("-", "").replace(".", "")) > 15:
+            raise Unsupported(f"float {r} not canonically serializable")
+        return r
+    if isinstance(v, list):
+        return "[" + ",".join(_canonical_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{json.dumps(k, ensure_ascii=False)}:{_canonical_json(x)}"
+            for k, x in sorted(v.items())
+        ) + "}"
+    raise Unsupported(f"unsupported literal type {type(v)}")
+
+
+def _dec_repr(x) -> str:
+    """Exact decimal(38,12) literal text for a schema number, or raise."""
+    d = Decimal(str(x))
+    if not d.is_finite():
+        raise Unsupported(f"{x} is not finite")
+    exp = d.as_tuple().exponent
+    if exp < -12:
+        q = d.quantize(Decimal("1E-12"))
+        if q != d:
+            raise Unsupported(f"{x} not exact in decimal(38,12)")
+        d = q
+    if abs(d) >= Decimal(10) ** 26:
+        raise Unsupported(f"{x} beyond decimal(38,12) range")
+    return format(d, "f")
+
+
+def _dec_lit_or_none(x):
+    try:
+        return _dec_repr(x)
+    except Unsupported:
+        return None
 
 
 # ---------------------------------------------------------------------------
 # extraction context: stage-1 struct fields
 # ---------------------------------------------------------------------------
 
-class _Ctx:
-    """Allocates stage-1 struct fields. One variant slot per schema location
-    plus memoized typed views (type tag / double / string / array)."""
+_COL_PREFIX = "__jss_"
 
-    def __init__(self) -> None:
+
+class _Ctx:
+    """Allocates extraction slots. Keys are counter-based (collision-free by
+    construction); memoization is on the (vkey, kind) tuple, where kind may
+    be any hashable (round-2 fix for the f-string aliasing bug).
+
+    Two modes:
+    - column mode (default): each slot becomes its OWN named column and
+      builders receive a cheap ``F.col`` reference to the parent slot.
+      Slots are emitted as chained projections by dependency depth —
+      multi-referenced non-cheap columns stop CollapseProject from inlining
+      them into every consumer (a struct-field layout gets re-inlined by
+      SimplifyExtractValueOps: measured 5-10× per-row re-derivation).
+    - inline mode (``_lower_element``): builders compose expressions
+      directly — lambdas cannot reference outer columns by name.
+    """
+
+    def __init__(self, inline: bool = False) -> None:
         self.exprs: dict[str, Any] = {}
-        self._memo: dict[tuple[str, str], str] = {}
+        self.depth: dict[str, int] = {}
+        self.inline = inline
+        self._memo: dict[tuple, str] = {}
         self._n = 0
+
+    def ref(self, key: str):
+        if self.inline:
+            return self.exprs[key]
+        import pyspark.sql.functions as F
+
+        return F.col(_COL_PREFIX + key)
 
     def add_variant(self, expr) -> str:
         key = f"v{self._n}"
         self._n += 1
         self.exprs[key] = expr
+        self.depth[key] = 0
         return key
 
-    def typed(self, vkey: str, kind: str, builder: Callable) -> str:
+    def typed(self, vkey: str, kind, builder: Callable) -> str:
         mk = (vkey, kind)
         got = self._memo.get(mk)
         if got is not None:
             return got
-        key = f"{vkey}_{kind}"
-        self.exprs[key] = builder(self.exprs[vkey])
+        key = f"t{self._n}"
+        self._n += 1
+        self.exprs[key] = builder(self.ref(vkey))
+        self.depth[key] = self.depth[vkey] + 1
         self._memo[mk] = key
         return key
 
@@ -193,6 +643,194 @@ class _Ctx:
 
         return self.typed(vkey, "boo", lambda v: F.try_variant_get(v, "$", "boolean"))
 
+    def tj(self, vkey: str) -> str:
+        import pyspark.sql.functions as F
+
+        return self.typed(vkey, "tj", lambda v: F.to_json(v))
+
+    def field(self, vkey: str, key: str) -> str:
+        """Child variant slot for object property ``key`` (element_at on the
+        memoized map view: path-syntax-free, works for any property name,
+        and the map cast is computed once per location)."""
+        import pyspark.sql.functions as F
+
+        objkey = self.obj(vkey)
+        return self.typed(objkey, ("prop", key),
+                          lambda o, key=key: F.element_at(o, key))
+
+    def item(self, vkey: str, i: int) -> str:
+        """Child variant slot for array index ``i`` (null when OOB/non-array)."""
+        import pyspark.sql.functions as F
+
+        arrkey = self.arr(vkey)
+        return self.typed(arrkey, ("item", i), lambda a, i=i: F.get(a, i))
+
+
+class _Multi:
+    """A fails-list entry that is an array<struct> Column (dynamic per-key /
+    per-index violations) rather than a single nullable struct."""
+
+    __slots__ = ("col",)
+
+    def __init__(self, col) -> None:
+        self.col = col
+
+
+def _gate(cond, fails: list) -> list:
+    """Wrap every fails entry in F.when(cond, ...) — nulls filter out later."""
+    import pyspark.sql.functions as F
+
+    out = []
+    for f in fails:
+        if isinstance(f, _Multi):
+            out.append(_Multi(F.when(cond, f.col)))
+        else:
+            out.append(F.when(cond, f))
+    return out
+
+
+def _viol(cond, keyword: str, ipath, spath: str, message):
+    """Violation struct under ``cond``. ipath/message may be str or Column."""
+    import pyspark.sql.functions as F
+
+    ip = F.lit(ipath) if isinstance(ipath, str) else ipath
+    msg = F.lit(message) if isinstance(message, str) else message
+    return F.when(
+        F.coalesce(cond, F.lit(False)),
+        F.struct(
+            F.lit(keyword).alias("keyword"),
+            ip.alias("instance_pointer"),
+            F.lit(spath).alias("schema_pointer"),
+            msg.alias("message"),
+        ),
+    )
+
+
+def _ptr_col(ipath: str, key_col):
+    """Dynamic JSON pointer: ipath + '/' + escape(key)."""
+    import pyspark.sql.functions as F
+
+    esc = F.regexp_replace(F.regexp_replace(key_col, "~", "~0"), "/", "~1")
+    return F.concat(F.lit(ipath + "/"), esc)
+
+
+# ---------------------------------------------------------------------------
+# propertyNames: string-instance predicate lowering
+# ---------------------------------------------------------------------------
+
+_STRING_APPLICABLE = {"type", "enum", "const", "maxLength", "minLength",
+                      "pattern", "allOf", "anyOf", "oneOf", "not", "if",
+                      "then", "else"}
+
+
+def _check_string_pred(schema: Any, dialect: Dialect) -> None:
+    if schema is True or schema is False:
+        return
+    if not isinstance(schema, dict):
+        raise Unsupported("non-dict propertyNames schema")
+    for kw, val in schema.items():
+        if kw in _ANNOTATIONS or kw not in _MEANINGFUL:
+            continue
+        if kw not in _STRING_APPLICABLE:
+            continue  # vacuous on string instances (type-guard model)
+        if kw == "pattern":
+            _java_pattern(val)
+        elif kw in ("maxLength", "minLength"):
+            if not isinstance(val, int) or isinstance(val, bool) or val < 0:
+                raise Unsupported(f"bad {kw}")
+        elif kw == "enum":
+            if not isinstance(val, list):
+                raise Unsupported("enum not a list")
+        elif kw in ("allOf", "anyOf", "oneOf"):
+            for sub in val:
+                _check_string_pred(sub, dialect)
+        elif kw == "not":
+            _check_string_pred(val, dialect)
+        elif kw in ("if", "then", "else"):
+            if dialect.has_if_then_else:
+                _check_string_pred(val, dialect)
+
+
+def _string_pred(schema: Any, dialect: Dialect):
+    """Subschema → predicate over a STRING column (object keys are always
+    strings, so type guards resolve statically)."""
+    import pyspark.sql.functions as F
+
+    if schema is True or (isinstance(schema, dict) and not schema):
+        return lambda k: F.lit(True)
+    if schema is False:
+        return lambda k: F.lit(False)
+
+    parts: list[Callable] = []
+    ty = schema.get("type")
+    if ty is not None:
+        types = ty if isinstance(ty, list) else [ty]
+        ok = "string" in types
+        parts.append(lambda k, ok=ok: F.lit(ok))
+    if "enum" in schema:
+        strs = [x for x in schema["enum"] if isinstance(x, str)]
+        parts.append(lambda k, strs=tuple(strs): k.isin(*strs) if strs else F.lit(False))
+    if dialect.has_const and "const" in schema:
+        c = schema["const"]
+        if isinstance(c, str):
+            parts.append(lambda k, c=c: k == F.lit(c))
+        else:
+            parts.append(lambda k: F.lit(False))
+    if "maxLength" in schema:
+        m = schema["maxLength"]
+        parts.append(lambda k, m=m: F.length(k) <= m)
+    if "minLength" in schema:
+        m = schema["minLength"]
+        parts.append(lambda k, m=m: F.length(k) >= m)
+    if "pattern" in schema:
+        jp = _java_pattern(schema["pattern"])
+        parts.append(lambda k, jp=jp: k.rlike(jp))
+    for sub in schema.get("allOf") or []:
+        parts.append(_string_pred(sub, dialect))
+    if isinstance(schema.get("anyOf"), list):
+        branches = [_string_pred(s, dialect) for s in schema["anyOf"]]
+
+        def any_p(k, branches=branches):
+            out = None
+            for b in branches:
+                c = b(k)
+                out = c if out is None else (out | c)
+            return out
+
+        parts.append(any_p)
+    if isinstance(schema.get("oneOf"), list):
+        branches = [_string_pred(s, dialect) for s in schema["oneOf"]]
+
+        def one_p(k, branches=branches):
+            total = None
+            for b in branches:
+                c = b(k).cast("int")
+                total = c if total is None else (total + c)
+            return total == 1
+
+        parts.append(one_p)
+    if "not" in schema:
+        inner = _string_pred(schema["not"], dialect)
+        parts.append(lambda k, inner=inner: ~inner(k))
+    if dialect.has_if_then_else and "if" in schema:
+        ip = _string_pred(schema["if"], dialect)
+        tp = _string_pred(schema["then"], dialect) if "then" in schema else (lambda k: F.lit(True))
+        ep = _string_pred(schema["else"], dialect) if "else" in schema else (lambda k: F.lit(True))
+        parts.append(lambda k, ip=ip, tp=tp, ep=ep: F.when(ip(k), tp(k)).otherwise(ep(k)))
+
+    frozen = tuple(parts)
+
+    # NOTE: exactly one parameter — pyspark infers higher-order-function
+    # lambda arity from the signature (default args count!)
+    def pred(k):
+        out = None
+        for p in frozen:
+            c = p(k)
+            out = c if out is None else (out & c)
+        return out if out is not None else F.lit(True)
+
+    return pred
+
 
 # ---------------------------------------------------------------------------
 # lowering: schema node → emit(get, ipath) -> (valid, fails)
@@ -201,7 +839,12 @@ class _Ctx:
 def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
     """Build the stage-2 emitter for one schema node rooted at variant slot
     ``vkey``. ``emit(get, ipath)`` gets a field-resolver (key → Column) and
-    the static instance pointer; returns (valid Column, [violation structs]).
+    the static instance pointer; returns (valid Column, [violation entries])
+    where entries are nullable structs or :class:`_Multi` arrays.
+
+    INVARIANT: every ctx allocation happens HERE (build time); emit closures
+    only read previously-allocated keys — the extraction struct is frozen
+    before any emitter runs.
     """
     import pyspark.sql.functions as F
 
@@ -215,54 +858,61 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
             ]
         return emit_false
 
-    # --- typed-view allocation (stage-1, build time only) -----------------
-    # schema_of_variant serializes the WHOLE subtree type per row, so it is
-    # allocated only when scalar dispatch is genuinely needed; object/array
-    # dispatch uses cheap try-casts.
+    def _is_num(get, tsk):
+        ts = get(tsk)
+        return ts.isin(*_NUMERIC_TAGS) | ts.startswith("DECIMAL")
+
     type_list = schema.get("type")
     type_list = (
         type_list if isinstance(type_list, list) else ([type_list] if type_list else [])
     )
-    scalar_kws = bool(
-        set(schema)
-        & {
-            "enum", "const", "minimum", "maximum", "exclusiveMinimum",
-            "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
-        }
+    # OpenAPI 3.0: `nullable: true` extends `type` (openapi30/vocab/base.rb)
+    if dialect.openapi == 30 and schema.get("nullable") is True and type_list:
+        type_list = list(type_list) + ["null"]
+
+    needs_obj = (
+        "object" in type_list
+        or bool(schema.get("required"))
+        or any(
+            k in schema
+            for k in (
+                "properties", "patternProperties", "additionalProperties",
+                "maxProperties", "minProperties",
+            )
+        )
+        or (dialect.has_property_names and "propertyNames" in schema)
+        or (dialect.has_dependent_keywords and (
+            "dependentRequired" in schema or "dependentSchemas" in schema))
+        or (dialect.has_legacy_dependencies and isinstance(schema.get("dependencies"), dict))
+        or (dialect.has_unevaluated and "unevaluatedProperties" in schema)
     )
-    needs_ts = scalar_kws or any(
-        t in ("string", "boolean", "null", "number", "integer") for t in type_list
-    )
-    tskey = ctx.ts(vkey) if needs_ts else None
-    needs_obj = "object" in type_list or bool(schema.get("required"))
     objkey = ctx.obj(vkey) if needs_obj else None
+
     needs_arr = (
         "array" in type_list
-        or "maxItems" in schema
-        or "minItems" in schema
-        or ("items" in schema and not isinstance(schema["items"], list))
+        or any(k in schema for k in ("maxItems", "minItems", "items", "uniqueItems"))
+        or (dialect.has_prefix_items and "prefixItems" in schema)
+        or (dialect.has_contains and "contains" in schema)
+        or (dialect.has_unevaluated and "unevaluatedItems" in schema)
     )
     arrkey = ctx.arr(vkey) if needs_arr else None
 
     checks: list[Callable] = []   # (get, ipath) -> (fail_cond, keyword, msg)
     subs: list[Callable] = []     # (get, ipath) -> (valid, fails)
 
-    def is_numeric(get):
-        ts = get(tskey)
-        return ts.isin(*_NUMERIC_TAGS) | ts.startswith("DECIMAL")
-
-    def is_object(get):
-        return get(objkey).isNotNull()
-
     # --- type ---------------------------------------------------------------
     if type_list:
-        needs_num = "integer" in type_list and not dialect.strict_integer
-        numkey = ctx.num(vkey) if needs_num else None
+        tskey = ctx.ts(vkey) if any(
+            t in ("string", "boolean", "null", "number", "integer") for t in type_list
+        ) else None
+        needs_int = "integer" in type_list and not dialect.strict_integer
+        numkey = ctx.num(vkey) if needs_int else None
+        deckey = ctx.dec(vkey) if needs_int else None
 
         # reference convention: single type → error type is the type name
         type_kw = type_list[0] if (len(type_list) == 1 and not isinstance(schema["type"], list)) else "type"
 
-        def type_check(get, ipath, allowed=tuple(type_list), numkey=numkey, type_kw=type_kw):
+        def type_check(get, ipath, allowed=tuple(type_list), type_kw=type_kw):
             ok = None
             for t in allowed:
                 if t == "object":
@@ -270,62 +920,72 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                 elif t == "array":
                     c = get(arrkey).isNotNull()
                 else:
-                    c = _type_pred(get, get(tskey), t, dialect, numkey, is_numeric)
+                    c = _type_pred(get, get(tskey), t, dialect, numkey, deckey,
+                                   lambda g: _is_num(g, tskey))
                 ok = c if ok is None else (ok | c)
             cond = get(vkey).isNotNull() & ~F.coalesce(ok, F.lit(False))
             return cond, type_kw, f"expected {list(allowed)}"
 
         checks.append(type_check)
 
-    # --- const / enum ----------------------------------------------------------
-    def scalar_eq(get, x):
-        ts = get(tskey)
+    # --- const / enum --------------------------------------------------------
+    def make_scalar_eq(x):
+        """Build-time: allocate views; returns emit-fn(get) -> equality Column.
+
+        Numeric equality compares doubles then tie-breaks through the
+        decimal(38,12) view — exact beyond 2^53 (ADVICE round-1 fix)."""
+        tsk = ctx.ts(vkey)
         if x is None:
-            return ts == "VOID"
+            return lambda get: get(tsk) == "VOID"
         if isinstance(x, bool):
-            return (ts == "BOOLEAN") & (get(ctx.boo(vkey)) == F.lit(x))
+            bkey = ctx.boo(vkey)
+            return lambda get: (get(tsk) == "BOOLEAN") & (get(bkey) == F.lit(x))
         if isinstance(x, (int, float)):
-            return is_numeric(get) & (get(ctx.num(vkey)) == F.lit(float(x)))
+            nk, dk = ctx.num(vkey), ctx.dec(vkey)
+            dlit = _dec_lit_or_none(x)
+
+            def num_eq(get, x=x, dlit=dlit):
+                e = _is_num(get, tsk) & (get(nk) == F.lit(float(x)))
+                if dlit is not None:
+                    e = e & (
+                        get(dk).isNull()
+                        | (get(dk) == F.lit(dlit).cast("decimal(38,12)"))
+                    )
+                return e
+
+            return num_eq
         if isinstance(x, str):
-            return (ts == "STRING") & (get(ctx.str_(vkey)) == F.lit(x))
-        raise Unsupported(f"non-scalar literal {type(x)}")
+            skey = ctx.str_(vkey)
+            return lambda get: (get(tsk) == "STRING") & (get(skey) == F.lit(x))
+        # composite: canonical-JSON equality (to_json(variant) sorts keys and
+        # canonicalizes decimal forms; _canonical_json mirrors it)
+        tjkey = ctx.tj(vkey)
+        canon = _canonical_json(x)
+        return lambda get: get(tjkey) == F.lit(canon)
 
     if dialect.has_const and "const" in schema:
-        cv = schema["const"]
-        if isinstance(cv, bool):
-            ctx.boo(vkey)
-        elif isinstance(cv, (int, float)):
-            ctx.num(vkey)
-        elif isinstance(cv, str):
-            ctx.str_(vkey)
+        eq = make_scalar_eq(schema["const"])
 
-        def const_check(get, ipath, cv=cv):
-            cond = get(vkey).isNotNull() & ~F.coalesce(scalar_eq(get, cv), F.lit(False))
+        def const_check(get, ipath, eq=eq):
+            cond = get(vkey).isNotNull() & ~F.coalesce(eq(get), F.lit(False))
             return cond, "const", "value does not equal const"
 
         checks.append(const_check)
 
     if "enum" in schema:
-        evs = list(schema["enum"])
-        for x in evs:  # pre-allocate typed views
-            if isinstance(x, bool):
-                ctx.boo(vkey)
-            elif isinstance(x, (int, float)):
-                ctx.num(vkey)
-            elif isinstance(x, str):
-                ctx.str_(vkey)
+        eqs = [make_scalar_eq(x) for x in schema["enum"]]
 
-        def enum_check(get, ipath, evs=tuple(evs)):
+        def enum_check(get, ipath, eqs=tuple(eqs)):
             ok = None
-            for x in evs:
-                c = scalar_eq(get, x)
+            for eq in eqs:
+                c = eq(get)
                 ok = c if ok is None else (ok | c)
             cond = get(vkey).isNotNull() & ~F.coalesce(ok, F.lit(False))
             return cond, "enum", "value not in enumeration"
 
         checks.append(enum_check)
 
-    # --- numeric bounds -----------------------------------------------------------
+    # --- numeric bounds -------------------------------------------------------
     num_kw = []
     def _plain_num(x):
         return isinstance(x, (int, float)) and not isinstance(x, bool)
@@ -343,99 +1003,382 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
             num_kw.append(("exclusiveMinimum", schema["exclusiveMinimum"], "le"))
 
     if num_kw:
-        numkey = ctx.num(vkey)
+        tskn = ctx.ts(vkey)
+        numkey2, deckey2 = ctx.num(vkey), ctx.dec(vkey)
         for kw, bound, op in num_kw:
-            def bound_check(get, ipath, kw=kw, bound=bound, op=op, numkey=numkey):
-                num = F.when(is_numeric(get), get(numkey))
-                cond = {"gt": num > bound, "ge": num >= bound,
-                        "lt": num < bound, "le": num <= bound}[op]
+            dlit = _dec_lit_or_none(bound)
+            bd = float(bound)
+
+            def bound_check(get, ipath, kw=kw, bd=bd, dlit=dlit, op=op):
+                # fail-condition: strict double compare, decimal tie-break on
+                # double-equality (exact beyond 2^53; dec view is NULL for
+                # |x| ≥ 1e26 → inclusive ops default to the double verdict)
+                dbl = F.when(_is_num(get, tskn), get(numkey2))
+                dec = get(deckey2)
+                declit = F.lit(dlit).cast("decimal(38,12)") if dlit is not None else None
+                if op == "gt":
+                    strict = dbl > bd
+                    tie = F.coalesce(dec > declit, F.lit(False)) if declit is not None else F.lit(False)
+                elif op == "ge":
+                    strict = dbl > bd
+                    tie = F.coalesce(dec >= declit, F.lit(True)) if declit is not None else F.lit(True)
+                elif op == "lt":
+                    strict = dbl < bd
+                    tie = F.coalesce(dec < declit, F.lit(False)) if declit is not None else F.lit(False)
+                else:
+                    strict = dbl < bd
+                    tie = F.coalesce(dec <= declit, F.lit(True)) if declit is not None else F.lit(True)
+                cond = strict | ((dbl == bd) & tie)
                 return F.coalesce(cond, F.lit(False)), kw, f"violates {kw} {bound}"
 
             checks.append(bound_check)
 
     if "multipleOf" in schema:
         div = schema["multipleOf"]
-        deckey = ctx.dec(vkey)
+        tskm = ctx.ts(vkey)
+        deckey3, numkey3 = ctx.dec(vkey), ctx.num(vkey)
+        dstr = _dec_repr(div)
 
-        def multiple_check(get, ipath, div=div, deckey=deckey):
-            dec = F.when(is_numeric(get), get(deckey))
-            cond = dec % F.lit(div).cast("decimal(38,12)") != 0
+        def multiple_check(get, ipath, div=div, dstr=dstr):
+            num_guard = _is_num(get, tskm)
+            dec = F.when(num_guard, get(deckey3))
+            dbl = F.when(num_guard, get(numkey3))
+            cond = F.when(
+                dec.isNotNull(), dec % F.lit(dstr).cast("decimal(38,12)") != 0
+            ).otherwise(dbl % F.lit(float(div)) != 0.0)
             return F.coalesce(cond, F.lit(False)), "multipleOf", f"not a multiple of {div}"
 
         checks.append(multiple_check)
 
-    # --- strings ----------------------------------------------------------------------
-    def gated_str(get):
-        return F.when(get(tskey) == "STRING", get(ctx.str_(vkey)))
+    # --- strings ----------------------------------------------------------------
+    if any(k in schema for k in ("maxLength", "minLength", "pattern")):
+        tsks = ctx.ts(vkey)
+        strkey = ctx.str_(vkey)
 
-    if "maxLength" in schema:
-        ctx.str_(vkey)
-        k = schema["maxLength"]
-        checks.append(lambda get, ipath, k=k: (
-            F.coalesce(F.length(gated_str(get)) > k, F.lit(False)), "maxLength", f"length > {k}"))
-    if "minLength" in schema:
-        ctx.str_(vkey)
-        k = schema["minLength"]
-        checks.append(lambda get, ipath, k=k: (
-            F.coalesce(F.length(gated_str(get)) < k, F.lit(False)), "minLength", f"length < {k}"))
-    if "pattern" in schema:
-        ctx.str_(vkey)
-        p = schema["pattern"]
-        checks.append(lambda get, ipath, p=p: (
-            F.coalesce(~gated_str(get).rlike(p), F.lit(False)),
-            "pattern", f"does not match pattern {p!r}"))
+        def gated_str(get):
+            return F.when(get(tsks) == "STRING", get(strkey))
 
-    # --- arrays -----------------------------------------------------------------------
-    def gated_arr(get):
-        # arrkey is the try-cast itself: NULL for every non-array value
-        return get(arrkey)
+        if "maxLength" in schema:
+            k = schema["maxLength"]
+            checks.append(lambda get, ipath, k=k: (
+                F.coalesce(F.length(gated_str(get)) > k, F.lit(False)), "maxLength", f"length > {k}"))
+        if "minLength" in schema:
+            k = schema["minLength"]
+            checks.append(lambda get, ipath, k=k: (
+                F.coalesce(F.length(gated_str(get)) < k, F.lit(False)), "minLength", f"length < {k}"))
+        if "pattern" in schema:
+            p = schema["pattern"]
+            jp = _java_pattern(p)
+            checks.append(lambda get, ipath, p=p, jp=jp: (
+                F.coalesce(~gated_str(get).rlike(jp), F.lit(False)),
+                "pattern", f"does not match pattern {p!r}"))
 
+    # --- arrays -----------------------------------------------------------------
     if "maxItems" in schema:
         k = schema["maxItems"]
         checks.append(lambda get, ipath, k=k: (
-            F.coalesce(F.size(gated_arr(get)) > k, F.lit(False)), "maxItems", f"more than {k} items"))
+            F.coalesce(F.size(get(arrkey)) > k, F.lit(False)), "maxItems", f"more than {k} items"))
     if "minItems" in schema:
         k = schema["minItems"]
         checks.append(lambda get, ipath, k=k: (
-            F.coalesce(F.size(gated_arr(get)) < k, F.lit(False)), "minItems", f"fewer than {k} items"))
+            F.coalesce(F.size(get(arrkey)) < k, F.lit(False)), "minItems", f"fewer than {k} items"))
 
-    if "items" in schema and not isinstance(schema["items"], list):
-        item_pred = _lower_element(schema["items"], dialect)
+    if schema.get("uniqueItems") is True:
+        def unique_check(get, ipath):
+            # canonical element key: numbers through the decimal view
+            # (equates 1, 1.0, 1e0 forms), everything else via to_json
+            # (sorted keys). Documented edges: |x| < 1e-12 collapse to 0.
+            def canon(x):
+                return F.coalesce(
+                    F.when(
+                        F.to_json(x).rlike("^-?[0-9]"),
+                        F.try_variant_get(x, "$", "decimal(38,12)").cast("string"),
+                    ),
+                    F.to_json(x),
+                )
+            arr = get(arrkey)
+            cond = F.size(F.array_distinct(F.transform(arr, canon))) != F.size(arr)
+            return F.coalesce(cond, F.lit(False)), "uniqueItems", "array items are not unique"
 
-        def items_check(get, ipath, item_pred=item_pred):
-            ok = F.forall(gated_arr(get), item_pred)
-            return F.coalesce(~ok, F.lit(False)), "items", "one or more items invalid"
+        checks.append(unique_check)
 
-        checks.append(items_check)
+    # positional + rest item subschemas (2020-12 prefixItems/items split vs
+    # ≤2019-09 array-form items/additionalItems — SURVEY.md §2.3)
+    prefix_subs: list = []
+    rest_sub = rest_spath = rest_kw = None
+    if dialect.has_prefix_items:
+        if isinstance(schema.get("prefixItems"), list):
+            prefix_subs = [(f"{spath}/prefixItems/{i}", s) for i, s in enumerate(schema["prefixItems"])]
+        if schema.get("items") is not None:
+            rest_sub, rest_spath, rest_kw = schema["items"], f"{spath}/items", "items"
+    elif dialect.array_form_items:
+        it = schema.get("items")
+        if isinstance(it, list):
+            prefix_subs = [(f"{spath}/items/{i}", s) for i, s in enumerate(it)]
+            if schema.get("additionalItems") is not None:
+                rest_sub, rest_spath, rest_kw = (
+                    schema["additionalItems"], f"{spath}/additionalItems", "additionalItems")
+        elif it is not None:
+            rest_sub, rest_spath, rest_kw = it, f"{spath}/items", "items"
 
-    # --- objects --------------------------------------------------------------------------
-    if "required" in schema and isinstance(schema["required"], list) and schema["required"]:
+    for i, (sp_i, sub) in enumerate(prefix_subs):
+        childk = ctx.item(vkey, i)
+        child = _lower(sub, dialect, sp_i, ctx, childk)
+        subs.append(lambda get, ipath, i=i, child=child: child(get, f"{ipath}/{i}"))
+
+    if rest_sub is not None:
+        plen = len(prefix_subs)
+        rpred = _lower_element(rest_sub, dialect)
+        rkw = "schema" if rest_sub is False else rest_kw
+
+        def rest_check(get, ipath, plen=plen, rpred=rpred, rkw=rkw, sp=rest_spath):
+            arr = get(arrkey)
+            rest = F.slice(arr, F.lit(plen + 1), F.greatest(F.size(arr) - F.lit(plen), F.lit(0)))
+            ok = F.coalesce(F.forall(rest, rpred), F.lit(True))
+            fails = [_Multi(F.transform(rest, lambda x, i: F.when(
+                ~F.coalesce(rpred(x), F.lit(True)),
+                F.struct(
+                    F.lit(rkw).alias("keyword"),
+                    F.concat(F.lit(ipath + "/"), (i + F.lit(plen)).cast("string")).alias("instance_pointer"),
+                    F.lit(sp).alias("schema_pointer"),
+                    F.lit("item does not match schema").alias("message"),
+                ),
+            )))]
+            return ok, fails
+
+        subs.append(rest_check)
+
+    if dialect.has_contains and "contains" in schema:
+        cpred = _lower_element(schema["contains"], dialect)
+        min_c = schema.get("minContains", 1) if dialect.has_min_max_contains else 1
+        if not isinstance(min_c, int) or isinstance(min_c, bool):
+            min_c = 1
+        max_c = schema.get("maxContains") if dialect.has_min_max_contains else None
+        has_min_kw = dialect.has_min_max_contains and "minContains" in schema
+
+        def contains_sub(get, ipath, cpred=cpred, min_c=min_c, max_c=max_c, has_min_kw=has_min_kw):
+            nmatch = F.size(F.filter(get(arrkey), cpred))
+            msg_min = F.concat(nmatch.cast("string"), F.lit(f" items match contains, need >= {min_c}"))
+            fail_min = F.coalesce(nmatch < F.lit(min_c), F.lit(False))
+            fails = [_viol(fail_min, "contains", ipath, spath, msg_min)]
+            valid = ~fail_min
+            if has_min_kw:
+                fails.append(_viol(fail_min, "minContains", ipath, spath, msg_min))
+            if max_c is not None and isinstance(max_c, int) and not isinstance(max_c, bool):
+                fail_max = F.coalesce(nmatch > F.lit(max_c), F.lit(False))
+                msg_max = F.concat(nmatch.cast("string"), F.lit(f" items match contains, need <= {max_c}"))
+                fails.append(_viol(fail_max, "maxContains", ipath, spath, msg_max))
+                valid = valid & ~fail_max
+            return valid, fails
+
+        subs.append(contains_sub)
+
+    # --- objects --------------------------------------------------------------------
+    if "maxProperties" in schema:
+        k = schema["maxProperties"]
+        checks.append(lambda get, ipath, k=k: (
+            F.coalesce(F.size(get(objkey)) > k, F.lit(False)),
+            "maxProperties", f"more than {k} properties"))
+    if "minProperties" in schema:
+        k = schema["minProperties"]
+        checks.append(lambda get, ipath, k=k: (
+            F.coalesce(F.size(get(objkey)) < k, F.lit(False)),
+            "minProperties", f"fewer than {k} properties"))
+
+    if isinstance(schema.get("required"), list) and schema["required"]:
         req = list(schema["required"])
-        req_keys = [
-            ctx.typed(vkey, f"has_{k}",
-                      lambda v, k=k: _vget(v, k).isNotNull())
-            for k in req
-        ]
+        req_fields = [ctx.field(vkey, k) for k in req]
 
-        def required_check(get, ipath, req=tuple(req), req_keys=tuple(req_keys)):
+        def required_check(get, ipath, req=tuple(req), req_fields=tuple(req_fields)):
             missing = None
-            for rk in req_keys:
-                c = ~get(rk)
+            for rf in req_fields:
+                c = get(rf).isNull()
                 missing = c if missing is None else (missing | c)
-            cond = is_object(get) & F.coalesce(missing, F.lit(False))
+            cond = get(objkey).isNotNull() & F.coalesce(missing, F.lit(False))
             return F.coalesce(cond, F.lit(False)), "required", f"missing one of required {list(req)}"
 
         checks.append(required_check)
 
-    if "properties" in schema:
+    if isinstance(schema.get("properties"), dict):
         for key, sub in schema["properties"].items():
-            child_vkey = ctx.typed(vkey, f"p_{key}", lambda v, key=key: _vget(v, key))
-            child = _lower(sub, dialect, f"{spath}/properties/{key}", ctx, child_vkey)
+            child_vkey = ctx.field(vkey, key)
+            child = _lower(sub, dialect, f"{spath}/properties/{_esc(key)}", ctx, child_vkey)
 
             def prop_sub(get, ipath, key=key, child=child):
-                return child(get, f"{ipath}/{key}")
+                return child(get, f"{ipath}/{_esc(key)}")
 
             subs.append(prop_sub)
+
+    if isinstance(schema.get("patternProperties"), dict):
+        for pattern, sub in schema["patternProperties"].items():
+            jp = _java_pattern(pattern)
+            ppred = _lower_element(sub, dialect)
+            sp = f"{spath}/patternProperties/{_esc(pattern)}"
+            pkw = "schema" if sub is False else "patternProperties"
+
+            def pp_sub(get, ipath, jp=jp, ppred=ppred, sp=sp, pkw=pkw):
+                matched = F.map_filter(get(objkey), lambda k, v: k.rlike(jp))
+                ok = F.coalesce(F.forall(F.map_values(matched), ppred), F.lit(True))
+                bad = F.map_keys(F.map_filter(matched, lambda k, v: ~F.coalesce(ppred(v), F.lit(True))))
+                fails = [_Multi(F.transform(bad, lambda k: F.struct(
+                    F.lit(pkw).alias("keyword"),
+                    _ptr_col(ipath, k).alias("instance_pointer"),
+                    F.lit(sp).alias("schema_pointer"),
+                    F.lit("false schema disallows everything" if pkw == "schema"
+                          else "value does not match patternProperties schema").alias("message"),
+                )))]
+                return ok, fails
+
+            subs.append(pp_sub)
+
+    def _complement_sub(kw_display: str, sub, sp: str, names: list, pats: list):
+        """additionalProperties / unevaluatedProperties: apply ``sub`` to
+        values whose key is NOT statically covered (compile-time complement,
+        SURVEY.md §2.6)."""
+        apred = _lower_element(sub, dialect)
+        is_false = sub is False
+        kwname = "schema" if is_false else kw_display
+        msg = ("false schema disallows everything" if is_false
+               else f"value does not match {kw_display} schema")
+
+        def comp_sub(get, ipath, names=tuple(names), pats=tuple(pats)):
+            def covered(k):
+                c = F.lit(False)
+                if names:
+                    c = c | k.isin(*names)
+                for p in pats:
+                    c = c | k.rlike(p)
+                return c
+
+            extra = F.map_filter(get(objkey), lambda k, v: ~covered(k))
+            if is_false:
+                ok = F.coalesce(F.size(extra) == 0, F.lit(True))
+                bad = F.map_keys(extra)
+            else:
+                ok = F.coalesce(F.forall(F.map_values(extra), apred), F.lit(True))
+                bad = F.map_keys(F.map_filter(extra, lambda k, v: ~F.coalesce(apred(v), F.lit(True))))
+            fails = [_Multi(F.transform(bad, lambda k: F.struct(
+                F.lit(kwname).alias("keyword"),
+                _ptr_col(ipath, k).alias("instance_pointer"),
+                F.lit(sp).alias("schema_pointer"),
+                F.lit(msg).alias("message"),
+            )))]
+            return ok, fails
+
+        return comp_sub
+
+    if "additionalProperties" in schema:
+        names = list(schema.get("properties") or {})
+        pats = [_java_pattern(p) for p in (schema.get("patternProperties") or {})]
+        subs.append(_complement_sub(
+            "additionalProperties", schema["additionalProperties"],
+            f"{spath}/additionalProperties", names, pats))
+
+    if dialect.has_unevaluated and "unevaluatedProperties" in schema:
+        unames, upats, all_eval = _prop_coverage(schema, dialect, top=True)
+        if not all_eval:
+            subs.append(_complement_sub(
+                "unevaluatedProperties", schema["unevaluatedProperties"],
+                f"{spath}/unevaluatedProperties",
+                list(unames), [_java_pattern(p) for p in upats]))
+
+    if dialect.has_unevaluated and "unevaluatedItems" in schema:
+        uplen, allit, cpreds = _item_coverage(schema, dialect, top=True)
+        if not allit:
+            upred = _lower_element(schema["unevaluatedItems"], dialect)
+            cfns = [_lower_element(c, dialect) for c in cpreds]
+            ukw = "schema" if schema["unevaluatedItems"] is False else "unevaluatedItems"
+            usp = f"{spath}/unevaluatedItems"
+
+            def ui_sub(get, ipath, uplen=uplen, upred=upred, cfns=tuple(cfns), ukw=ukw, usp=usp):
+                arr = get(arrkey)
+                rest = F.slice(arr, F.lit(uplen + 1), F.greatest(F.size(arr) - F.lit(uplen), F.lit(0)))
+
+                def elem_ok(x):
+                    c = F.coalesce(upred(x), F.lit(True))
+                    for cf in cfns:  # items matched by `contains` are evaluated
+                        c = c | F.coalesce(cf(x), F.lit(False))
+                    return c
+
+                ok = F.coalesce(F.forall(rest, elem_ok), F.lit(True))
+                fails = [_Multi(F.transform(rest, lambda x, i: F.when(
+                    ~elem_ok(x),
+                    F.struct(
+                        F.lit(ukw).alias("keyword"),
+                        F.concat(F.lit(ipath + "/"), (i + F.lit(uplen)).cast("string")).alias("instance_pointer"),
+                        F.lit(usp).alias("schema_pointer"),
+                        F.lit("unevaluated item does not match schema").alias("message"),
+                    ),
+                )))]
+                return ok, fails
+
+            subs.append(ui_sub)
+
+    if dialect.has_property_names and "propertyNames" in schema:
+        pnsub = schema["propertyNames"]
+        spred = _string_pred(pnsub, dialect)
+        pnkw = "schema" if pnsub is False else "propertyNames"
+        pnsp = f"{spath}/propertyNames"
+
+        def pn_sub(get, ipath, spred=spred, pnkw=pnkw, pnsp=pnsp):
+            keys = F.map_keys(get(objkey))
+            ok = F.coalesce(F.forall(keys, spred), F.lit(True))
+            bad = F.filter(keys, lambda k: ~F.coalesce(spred(k), F.lit(True)))
+            # errors locate at the OBJECT (a key is not an addressable
+            # instance location — reference convention)
+            fails = [_Multi(F.transform(bad, lambda k: F.struct(
+                F.lit(pnkw).alias("keyword"),
+                F.lit(ipath).alias("instance_pointer"),
+                F.lit(pnsp).alias("schema_pointer"),
+                F.concat(F.lit("property name "), k, F.lit(" invalid")).alias("message"),
+            )))]
+            return ok, fails
+
+        subs.append(pn_sub)
+
+    # dependentRequired / legacy array-form dependencies
+    dep_reqs = []
+    if dialect.has_dependent_keywords and isinstance(schema.get("dependentRequired"), dict):
+        dep_reqs += [("dependentRequired", k, v, True) for k, v in schema["dependentRequired"].items()]
+    dep_schemas = []
+    if dialect.has_legacy_dependencies and isinstance(schema.get("dependencies"), dict):
+        for k, dep in schema["dependencies"].items():
+            if isinstance(dep, list):
+                # unlike dependentRequired, legacy dependencies errors locate
+                # at the OBJECT (reference convention)
+                dep_reqs.append(("dependencies", k, dep, False))
+            else:
+                dep_schemas.append(("dependencies", k, dep))
+    if dialect.has_dependent_keywords and isinstance(schema.get("dependentSchemas"), dict):
+        dep_schemas += [("dependentSchemas", k, v) for k, v in schema["dependentSchemas"].items()]
+
+    for dkw, key, needs, at_key in dep_reqs:
+        trig = ctx.field(vkey, key)
+        need_fields = [ctx.field(vkey, n) for n in needs]
+
+        def dep_sub(get, ipath, dkw=dkw, key=key, needs=tuple(needs),
+                    trig=trig, need_fields=tuple(need_fields), at_key=at_key):
+            missing = F.lit(False)
+            for nf in need_fields:
+                missing = missing | get(nf).isNull()
+            cond = F.coalesce(get(trig).isNotNull() & missing, F.lit(False))
+            at = f"{ipath}/{_esc(key)}" if at_key else ipath
+            return ~cond, [_viol(cond, dkw, at, spath,
+                                 f"{key!r} present but missing one of {list(needs)}")]
+
+        subs.append(dep_sub)
+
+    for dkw, key, dsub in dep_schemas:
+        trig = ctx.field(vkey, key)
+        child = _lower(dsub, dialect, f"{spath}/{dkw}/{_esc(key)}", ctx, vkey)
+
+        def ds_sub(get, ipath, trig=trig, child=child):
+            present = get(trig).isNotNull()
+            cv, cf = child(get, ipath)
+            valid = F.when(F.coalesce(present, F.lit(False)), F.coalesce(cv, F.lit(True))).otherwise(F.lit(True))
+            return valid, _gate(present, cf)
+
+        subs.append(ds_sub)
 
     # --- in-place applicators --------------------------------------------------------------
     if isinstance(schema.get("allOf"), list):
@@ -455,9 +1398,9 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
             ok = F.coalesce(ok, F.lit(False))
             # reference convention: no anyOf summary — branch errors
             # surface only when every branch failed
-            fails = [
-                F.when(~ok, c) for _, bf in results for c in bf
-            ]
+            fails = []
+            for _, bf in results:
+                fails.extend(_gate(~ok, bf))
             return ok, fails
 
         subs.append(any_of)
@@ -474,7 +1417,9 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                 total = c if total is None else (total + c)
             ok = total == 1
             # 0 valid → branch errors; >1 valid → single oneOf summary
-            fails = [F.when(total == 0, c) for _, bf in results for c in bf]
+            fails = []
+            for _, bf in results:
+                fails.extend(_gate(total == 0, bf))
             fails.append(
                 _viol(get(vkey).isNotNull() & (total > 1), "oneOf", ipath, spath,
                       "more than one subschema matched")
@@ -505,17 +1450,17 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
             if then_emit is not None:
                 tv, tf = then_emit(get, ipath)
                 valid = F.when(cond_if, F.coalesce(tv, F.lit(True))).otherwise(valid)
-                fails.extend(F.when(cond_if, c) for c in tf)
+                fails.extend(_gate(cond_if, tf))
             if else_emit is not None:
                 ev, ef = else_emit(get, ipath)
                 valid = F.when(~cond_if, F.coalesce(ev, F.lit(True))).otherwise(valid)
-                fails.extend(F.when(~cond_if, c) for c in ef)
+                fails.extend(_gate(~cond_if, ef))
             return valid, fails
 
         subs.append(if_then_else)
 
     def emit(get, ipath):
-        fail_structs = []
+        fail_structs: list = []
         any_fail = None
         for check in checks:
             cond, kw, msg = check(get, ipath)
@@ -535,16 +1480,11 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
     return emit
 
 
-def _vget(v, key: str):
-    import pyspark.sql.functions as F
-
-    return F.variant_get(v, f"$.{key}", "variant")
-
-
 def _lower_element(schema: Any, dialect: Dialect):
-    """Array-element predicate: variant → boolean Column (used inside
-    ``forall`` lambdas, where struct materialization is impossible —
-    element-level work stays inline and is naturally small)."""
+    """Array-element / map-value predicate: variant → boolean Column (used
+    inside ``forall``/``filter``/``transform`` lambdas, where struct
+    materialization is impossible — element-level work stays inline and is
+    naturally small)."""
     import pyspark.sql.functions as F
 
     if schema is True or (isinstance(schema, dict) and not schema):
@@ -553,7 +1493,7 @@ def _lower_element(schema: Any, dialect: Dialect):
         return lambda x: F.lit(False)
 
     def pred(x):
-        ctx = _Ctx()
+        ctx = _Ctx(inline=True)
         vkey = ctx.add_variant(x)
         emit = _lower(schema, dialect, "", ctx, vkey)
         exprs = ctx.exprs
@@ -561,28 +1501,13 @@ def _lower_element(schema: Any, dialect: Dialect):
         def get(key):  # inline resolution: no struct inside lambdas
             return exprs[key]
 
-        # resolve typed views lazily against the element expression
         valid, _ = emit(get, "")
         return F.coalesce(valid, F.lit(True))
 
     return pred
 
 
-def _viol(cond, keyword: str, ipath: str, spath: str, message: str):
-    import pyspark.sql.functions as F
-
-    return F.when(
-        F.coalesce(cond, F.lit(False)),
-        F.struct(
-            F.lit(keyword).alias("keyword"),
-            F.lit(ipath).alias("instance_pointer"),
-            F.lit(spath).alias("schema_pointer"),
-            F.lit(message).alias("message"),
-        ),
-    )
-
-
-def _type_pred(get, ts, t: str, dialect: Dialect, numkey, is_numeric):
+def _type_pred(get, ts, t: str, dialect: Dialect, numkey, deckey, is_numeric):
     import pyspark.sql.functions as F
 
     if t == "string":
@@ -602,8 +1527,11 @@ def _type_pred(get, ts, t: str, dialect: Dialect, numkey, is_numeric):
             # draft4: a float literal with zero fraction is NOT an integer;
             # DECIMAL(p,0) with p>=19 can only come from a big int literal.
             return (ts == "BIGINT") | ts.rlike(r"^DECIMAL\((19|[2-9]\d|\d{3,}),0\)")
-        num = get(numkey)
-        return is_numeric(get) & F.coalesce(num == F.floor(num), F.lit(True))
+        # integral check through the decimal view first (exact beyond 2^53),
+        # double fallback for |x| ≥ 1e26
+        num, dec = get(numkey), get(deckey)
+        integral = F.when(dec.isNotNull(), dec == F.floor(dec)).otherwise(num == F.floor(num))
+        return is_numeric(get) & F.coalesce(integral, F.lit(True))
     raise Unsupported(f"unknown type {t!r}")
 
 
@@ -611,16 +1539,22 @@ def _type_pred(get, ts, t: str, dialect: Dialect, numkey, is_numeric):
 # entry point
 # ---------------------------------------------------------------------------
 
-_STRUCT_COL = "__jss_x"
-
-
 def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dialect):
     """Pure-Column validation: df + ``valid`` + ``violations`` columns.
 
-    Two chained projections over one scan (extraction struct → predicates);
-    no shuffle, no Python workers; scales linearly with partitions.
+    Chained projections over one scan (parse → typed views by dependency
+    depth → predicates); no shuffle, no Python workers; scales linearly
+    with partitions. Every extraction slot is its OWN named column so that
+    (a) the parse/cast work is computed once per row regardless of how many
+    predicates consume it (CollapseProject keeps multi-referenced non-cheap
+    aliases materialized), and (b) a fat upstream ``content`` expression is
+    never multiplied into the validator (measured: struct-field layouts get
+    re-inlined by SimplifyExtractValueOps → 5-10× per-row re-derivation and
+    OOM on generated-content inputs).
     """
     import pyspark.sql.functions as F
+
+    schema = prepare(schema, dialect)
 
     content = F.col(content_col)
     # NULL content is JSON null (parity with the interpreter tier);
@@ -633,19 +1567,45 @@ def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dia
     root_key = ctx.add_variant(root)
     emit = _lower(schema, dialect, "", ctx, root_key)
 
-    staged = df.withColumn(
-        _STRUCT_COL,
-        F.struct(*[expr.alias(k) for k, expr in ctx.exprs.items()]),
-    )
+    staged = df
+    by_depth: dict[int, list[str]] = {}
+    for k in ctx.exprs:
+        by_depth.setdefault(ctx.depth[k], []).append(k)
+    for d in sorted(by_depth):
+        staged = staged.select(
+            "*", *[ctx.exprs[k].alias(_COL_PREFIX + k) for k in by_depth[d]]
+        )
 
     def get(key):
-        return F.col(_STRUCT_COL)[key]
+        return F.col(_COL_PREFIX + key)
 
     valid, fails = emit(get, "")
     parse_fail = content.isNotNull() & get(root_key).isNull()
     fails = [_viol(parse_fail, "$parse", "", "", "content is not valid JSON")] + fails
-    violations = F.filter(F.array(*fails), lambda x: x.isNotNull())
+
+    parts = []
+    for f in fails:
+        if isinstance(f, _Multi):
+            parts.append(F.coalesce(f.col, F.array(F.lit(None).cast(_VIOL_DDL))))
+        else:
+            parts.append(F.array(f))
+    violations = F.filter(
+        parts[0] if len(parts) == 1 else F.concat(*parts),
+        lambda x: x.isNotNull(),
+    )
     overall = F.coalesce(valid, F.lit(True)) & ~parse_fail
+
+    # Pushdown/collapse barrier: a non-deterministic no-op guard keeps
+    # Catalyst from substituting `valid`/`violations` through the extraction
+    # projections — predicate pushdown on `.filter("valid")` otherwise
+    # inlines parse_json per alias reference into the Filter AND the scan's
+    # DataFilters (measured 15× per-row re-parsing, a 20× slowdown). The
+    # guard is always true: rand() ∈ [0, 1). Downstream operators see plain
+    # materialized attributes, so grouping/joining on the outputs is
+    # unaffected. Pre-filters on source columns belong BEFORE validation.
+    nd_guard = F.spark_partition_id() >= F.lit(0)
+    overall = F.when(nd_guard, overall)
+    violations = F.when(nd_guard, violations)
 
     return staged.select(
         *[F.col(c) for c in df.columns],

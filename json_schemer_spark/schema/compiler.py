@@ -124,15 +124,10 @@ class CompiledSchema:
             return validate_json_column_lowered(df, content_col, self.schema, self.dialect)
         return self._validate_with_interpreter(df, content_col)
 
-    def _validate_with_interpreter(self, df, content_col: str):
-        """General path: ONE mapInPandas stage running the compiled Evaluator.
-
-        The Evaluator is constructed per-executor-process from the schema
-        document (cheap, memoized) rather than pickling live regex/registry
-        state.
-        """
-        import pandas as pd
-
+    def _evaluator_factory(self) -> Callable[[], Evaluator]:
+        """Picklable zero-arg builder: reconstructs the Evaluator on each
+        executor process from the schema document (cheap, memoized per
+        process) rather than pickling live regex/registry state."""
         schema_json = json.dumps(self.schema)
         dialect_name = self.dialect.name
         assert_formats = self.assert_formats
@@ -140,19 +135,29 @@ class CompiledSchema:
         formats = self.formats
         keywords = self.keywords
 
-        result_schema = _append_fields(df.schema)
-
-        def run(batches):
+        def build() -> Evaluator:
             from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
             from json_schemer_spark.schema.interpreter import Evaluator as _Ev
 
-            ev = _Ev(
+            return _Ev(
                 json.loads(schema_json),
                 dialect=DIALECTS_BY_NAME[dialect_name],
                 assert_formats=assert_formats,
                 formats=formats,
                 keywords=keywords,
             )
+
+        return build
+
+    def _validate_with_interpreter(self, df, content_col: str):
+        """General path: ONE mapInPandas stage running the compiled Evaluator."""
+        import pandas as pd
+
+        build = self._evaluator_factory()
+        result_schema = _append_fields(df.schema)
+
+        def run(batches):
+            ev = build()
             for pdf in batches:
                 contents = pdf[content_col]
                 valids = []

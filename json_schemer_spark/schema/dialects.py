@@ -40,6 +40,11 @@ class Dialect:
     boolean_exclusive_bounds: bool = False   # draft4 exclusiveMaximum: true form
     plain_name_fragment_ids: bool = True     # "#foo" fragments in id (<= 7)
     content_assertion: bool = False          # draft7: content* keywords assert
+    # OpenAPI dialect level: 0 = plain JSON Schema, 30 = OAS 3.0, 31 = OAS 3.1.
+    # 30 ⇒ `nullable` extends `type` (openapi30/vocab/base.rb:6-14);
+    # any non-zero ⇒ `discriminator` dispatch (openapi31/vocab/base.rb:36-123)
+    # and the OAS format set (int32/int64/float/double/password/byte/binary).
+    openapi: int = 0
     # $vocabulary-derived keyword gating (None = all vocabularies active);
     # members are vocabulary URI tail segments, e.g. "validation".
     enabled_vocabs: Optional[frozenset] = None
@@ -105,7 +110,40 @@ DRAFT4 = Dialect(
     boolean_exclusive_bounds=True,
 )
 
-_ALL = (DRAFT202012, DRAFT201909, DRAFT7, DRAFT6, DRAFT4)
+# OpenAPI 3.1: the 2020-12 dialect + OAS base vocabulary (discriminator)
+# — reference openapi31/meta.rb:14-38, openapi31/vocab.rb:6-16
+OPENAPI31 = Dialect(
+    name="openapi31",
+    uri="https://spec.openapis.org/oas/3.1/dialect/base",
+    has_dollar_anchor=True,
+    has_dynamic_ref=True,
+    has_prefix_items=True,
+    array_form_items=False,
+    has_min_max_contains=True,
+    has_dependent_keywords=True,
+    has_legacy_dependencies=True,
+    has_if_then_else=True,
+    has_unevaluated=True,
+    plain_name_fragment_ids=False,
+    openapi=31,
+)
+
+# OpenAPI 3.0: draft4-based schema object + nullable + discriminator
+# — reference openapi30/meta.rb:15-25, openapi30/vocab/base.rb:6-14
+OPENAPI30 = Dialect(
+    name="openapi30",
+    uri="json-schemer://openapi30/schema",
+    strict_integer=True,
+    exclusive_ref=True,
+    id_keyword="id",
+    has_contains=False,
+    has_property_names=False,
+    has_const=False,
+    boolean_exclusive_bounds=True,
+    openapi=30,
+)
+
+_ALL = (DRAFT202012, DRAFT201909, DRAFT7, DRAFT6, DRAFT4, OPENAPI31, OPENAPI30)
 
 DIALECTS_BY_URI: dict[str, Dialect] = {}
 for _d in _ALL:

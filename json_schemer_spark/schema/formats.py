@@ -261,3 +261,63 @@ FORMAT_CHECKS: dict[str, Callable[[Any, Any], bool]] = {
     "relative-json-pointer": _wrap(_rx("relative-json-pointer")),
     "regex": _wrap(check_regex),
 }
+
+
+# ---------------------------------------------------------------------------
+# OpenAPI 3.x data-type formats (reference openapi31/meta.rb:5-12,
+# openapi30/meta.rb:5-12). Unlike the core formats, these apply to
+# non-string instances too (int32/int64/float/double on numbers); each
+# checker vacuous-passes on non-applicable types, reference style.
+# ---------------------------------------------------------------------------
+
+def _int_value(v) -> int | None:
+    """JSON-integer value (int or integral float), else None."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return None
+
+
+def _check_int_bits(v: Any, bits: int) -> bool:
+    i = _int_value(v)
+    if i is None:
+        return True
+    return -(2 ** (bits - 1)) <= i <= 2 ** (bits - 1) - 1
+
+
+def _check_float_format(v: Any, _f: Any) -> bool:
+    # numbers must be floats (integers fail `float`/`double` — reference:
+    # `!instance.is_a?(Numeric) || instance.is_a?(Float)`)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return True
+    return isinstance(v, float)
+
+
+def _check_byte(v: Any, _f: Any) -> bool:
+    if not isinstance(v, str):
+        return True
+    import base64
+    import binascii
+
+    try:
+        base64.b64decode(v, validate=True)
+        return True
+    except (binascii.Error, ValueError):
+        return False
+
+
+OPENAPI_FORMATS: dict[str, Callable[[Any, Any], bool]] = {
+    "int32": lambda v, _f: _check_int_bits(v, 32),
+    "int64": lambda v, _f: _check_int_bits(v, 64),
+    "float": _check_float_format,
+    "double": _check_float_format,
+    "password": lambda _v, _f: True,
+    "byte": _check_byte,
+    # JSON strings are text by construction; the reference's
+    # encoding==BINARY check has no analogue here → always valid
+    "binary": lambda _v, _f: True,
+    "date": _wrap(check_date),
+}

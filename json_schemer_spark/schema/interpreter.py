@@ -46,6 +46,17 @@ class SchemaCompileError(ValueError):
     pass
 
 
+class _NeverMatches:
+    """Stand-in for an uncompilable-yet-ECMA-valid regex (e.g. ``[]``)."""
+
+    @staticmethod
+    def search(_s):
+        return None
+
+
+_NEVER_MATCHES = _NeverMatches()
+
+
 class _Result:
     __slots__ = ("valid", "errors", "props", "items")
 
@@ -92,14 +103,21 @@ class Evaluator:
         # schema.rb:153-166, the `keywords:` option)
         self.custom_keywords = keywords or {}
         self._regex_cache: dict[str, Any] = {}
+        # OpenAPI discriminator loop guards (replace the reference's
+        # skip_ref_once handoff, openapi31/vocab/base.rb:8-21,115-118):
+        # ids of schemas currently dispatching / currently being evaluated
+        self._disc_stack: list[int] = []
+        self._eval_stack: list[int] = []
 
     # -- public API -------------------------------------------------------
 
     def validate(self, instance: Any) -> dict[str, Any]:
         """Full validation → {'valid': bool, 'errors': [violation rows]}."""
         scope = [self.root_resource]
+        info = self.registry.info(self.root)
+        root_spath = info.pointer if info is not None else ""
         try:
-            r = self._eval(self.root, instance, "", "", scope, self.root_resource.dialect)
+            r = self._eval(self.root, instance, "", root_spath, scope, self.root_resource.dialect)
         except RecursionError:
             return {
                 "valid": False,
@@ -127,7 +145,13 @@ class Evaluator:
             try:
                 rx = compile_ecma(pattern)
             except EcmaRegexError:
-                rx = re.compile(pattern)  # permissive fallback
+                try:
+                    rx = re.compile(pattern)  # permissive fallback
+                except re.error:
+                    # ECMA-valid but Python-uncompilable (e.g. '[]' — an
+                    # ECMA class matching nothing): degrade to never-matches
+                    # instead of crashing the executor task (ADVICE r1)
+                    rx = _NEVER_MATCHES
             self._regex_cache[pattern] = rx
         return rx
 
@@ -165,6 +189,24 @@ class Evaluator:
                 scope.pop()
 
     def _eval_object(
+        self,
+        schema: dict,
+        instance: Any,
+        ipath: str,
+        spath: str,
+        scope: list[Resource],
+        dialect: Dialect,
+        base_uri: str,
+    ) -> _Result:
+        # track in-flight schema nodes (discriminator loop guard)
+        self._eval_stack.append(id(schema))
+        try:
+            return self._eval_object_inner(
+                schema, instance, ipath, spath, scope, dialect, base_uri)
+        finally:
+            self._eval_stack.pop()
+
+    def _eval_object_inner(
         self,
         schema: dict,
         instance: Any,
@@ -212,9 +254,14 @@ class Evaluator:
             # location, not through the $ref chain (schema.rb:272-283)
             if tptr is None:
                 tptr = f"{spath}/$ref"
-            r = self._eval(target, instance, ipath, tptr, scope, dialect)
-            if not merge(r):
-                valid = False
+            if id(target) in self._disc_stack:
+                # a ref back into a schema that is mid-discriminator-dispatch
+                # is skipped once (allOf inheritance — skip_ref_once analogue)
+                pass
+            else:
+                r = self._eval(target, instance, ipath, tptr, scope, dialect)
+                if not merge(r):
+                    valid = False
             if dialect.exclusive_ref:
                 # drafts 4-7: $ref replaces all sibling keywords
                 return _Result(valid, errors or None, props or None, items or None)
@@ -231,12 +278,27 @@ class Evaluator:
             if not merge(r):
                 valid = False
 
+        # --- OpenAPI discriminator (before validation keywords — the
+        # reference emits its error first, open_api_test.rb:212) ------------
+        disc = schema.get("discriminator") if dialect.openapi else None
+        disc_active = isinstance(disc, dict) and isinstance(disc.get("propertyName"), str)
+        if disc_active and id(schema) not in self._disc_stack:
+            r = self._eval_discriminator(
+                schema, disc, instance, ipath, spath, scope, dialect, base_uri
+            )
+            if not merge(r):
+                valid = False
+
         # --- type / enum / const -----------------------------------------
         v_on = dialect.vocab_enabled("validation")
 
         ty = schema.get("type") if v_on else None
         if ty is not None:
             allowed = ty if isinstance(ty, list) else [ty]
+            # OpenAPI 3.0: `nullable: true` extends `type` with null
+            # (reference openapi30/vocab/base.rb:6-14)
+            if dialect.openapi == 30 and schema.get("nullable") is True:
+                allowed = list(allowed) + ["null"]
             if not any(self._type_ok(instance, t, dialect) for t in allowed):
                 # single type → error type is the expected type name
                 # (reference convention); type arrays → "type"
@@ -250,6 +312,27 @@ class Evaluator:
         if v_on and dialect.has_const and "const" in schema:
             if not json_equal(instance, schema["const"]):
                 fail("const", "value does not equal const")
+
+        # --- format assertion (all instance types — checkers vacuous-pass
+        # non-applicable types, reference format.rb:5-68; OAS int32/int64/
+        # float/double apply to numbers, openapi31/meta.rb:5-12) ------------
+        assert_fmt = self.assert_formats or (
+            dialect.enabled_vocabs is not None
+            and "format-assertion" in dialect.enabled_vocabs
+        )
+        if assert_fmt and "format" in schema:
+            fmt = schema["format"]
+            checker = self.formats.get(fmt)
+            if checker is None and not self.formats:
+                from json_schemer_spark.schema.formats import FORMAT_CHECKS
+
+                checker = FORMAT_CHECKS.get(fmt)
+            if checker is None and dialect.openapi:
+                from json_schemer_spark.schema.formats import OPENAPI_FORMATS
+
+                checker = OPENAPI_FORMATS.get(fmt)
+            if checker is not None and not checker(instance, fmt):
+                fail("format", f"not a valid {fmt}")
 
         # --- numbers -------------------------------------------------------
         if is_json_number(instance) and v_on:
@@ -283,19 +366,6 @@ class Evaluator:
                 fail("minLength", f"length {len(instance)} < {schema['minLength']}")
             if v_on and "pattern" in schema and not self._regex(schema["pattern"]).search(instance):
                 fail("pattern", f"does not match pattern {schema['pattern']!r}")
-            assert_fmt = self.assert_formats or (
-                dialect.enabled_vocabs is not None
-                and "format-assertion" in dialect.enabled_vocabs
-            )
-            if assert_fmt and "format" in schema:
-                fmt = schema["format"]
-                checker = self.formats.get(fmt)
-                if checker is None and not self.formats:
-                    from json_schemer_spark.schema.formats import FORMAT_CHECKS
-
-                    checker = FORMAT_CHECKS.get(fmt)
-                if checker is not None and not checker(instance, fmt):
-                    fail("format", f"not a valid {fmt}")
 
             # draft7: contentEncoding/contentMediaType assert
             # (draft7/vocab/validation.rb:38-65 in the reference; annotation
@@ -492,6 +562,8 @@ class Evaluator:
                             valid = False
 
         # --- in-place applicators (all instance types) -------------------------
+        # OpenAPI: `discriminator` replaces anyOf/oneOf dispatch entirely
+        # (openapi31/vocab/base.rb:25-35 — AnyOf/OneOf validate → nil)
         all_of = schema.get("allOf")
         if isinstance(all_of, list):
             for i, sub in enumerate(all_of):
@@ -500,6 +572,8 @@ class Evaluator:
                     valid = False
 
         any_of = schema.get("anyOf")
+        if disc_active:
+            any_of = None
         if isinstance(any_of, list):
             results = [
                 self._eval(sub, instance, ipath, f"{spath}/anyOf/{i}", scope, dialect)
@@ -517,6 +591,8 @@ class Evaluator:
                         errors.extend(r.errors)
 
         one_of = schema.get("oneOf")
+        if disc_active:
+            one_of = None
         if isinstance(one_of, list):
             results = [
                 self._eval(sub, instance, ipath, f"{spath}/oneOf/{i}", scope, dialect)
@@ -628,6 +704,107 @@ class Evaluator:
         tinfo = self.registry.info(target)
         tptr = tinfo.pointer if tinfo is not None else f"{spath}/$recursiveRef"
         return self._eval(target, instance, ipath, tptr, scope, dialect)
+
+    # -- OpenAPI discriminator (openapi31/vocab/base.rb:36-123) -----------------
+
+    _FIXED_FIELD = re.compile(r"^[a-zA-Z0-9.\-_]+$")
+
+    def _eval_discriminator(
+        self, schema: dict, disc: dict, instance: Any, ipath: str, spath: str,
+        scope: list[Resource], dialect: Dialect, base_uri: str,
+    ) -> _Result:
+        def failure() -> _Result:
+            return _Result(
+                False,
+                [("discriminator", ipath, spath,
+                  "value does not match `discriminator` schema")],
+                None, None,
+            )
+
+        if not isinstance(instance, dict):
+            return failure()
+        pname = disc["propertyName"]
+        if pname not in instance:
+            return failure()
+        pval = instance[pname]
+        mapping = disc.get("mapping") or {}
+
+        branches: list = []
+        if isinstance(schema.get("anyOf"), list):
+            branches += schema["anyOf"]
+        if isinstance(schema.get("oneOf"), list):
+            branches += schema["oneOf"]
+
+        target = None
+        tspath = f"{spath}/discriminator"
+        if branches:
+            # anyOf/oneOf form: branches MUST be $ref schemas; dispatch table
+            # = implicit (#/components/schemas/ names) merged with explicit
+            # `mapping` (explicit wins) — openapi31/vocab/base.rb:50-77
+            by_ref: dict[str, Any] = {}
+            by_name: dict[str, Any] = {}
+            for sub in branches:
+                if not isinstance(sub, dict) or not isinstance(sub.get("$ref"), str):
+                    raise SchemaCompileError(
+                        "discriminator anyOf/oneOf branches must be $ref schemas")
+                ref = sub["$ref"]
+                by_ref[ref] = sub
+                if ref.startswith("#/components/schemas/"):
+                    name = ref[len("#/components/schemas/"):]
+                    if self._FIXED_FIELD.match(name):
+                        by_name[name] = sub
+            explicit: dict[str, Any] = {}
+            for k, name_or_ref in mapping.items():
+                tgt = by_name.get(name_or_ref) or by_ref.get(name_or_ref)
+                if tgt is None:
+                    raise SchemaCompileError(
+                        f"discriminator mapping target {name_or_ref!r} not in anyOf/oneOf")
+                explicit[k] = tgt
+            explicit_ids = {id(s) for s in explicit.values()}
+            table = {n: s for n, s in by_name.items() if id(s) not in explicit_ids}
+            table.update(explicit)
+            if not isinstance(pval, str) or pval not in table:
+                return failure()
+            target = table[pval]
+        else:
+            # bare form: resolve `#/components/schemas/{value}` (fixed-field
+            # names), else as a raw ref — openapi31/vocab/base.rb:79-100
+            if not isinstance(pval, str):
+                return failure()
+            name_or_ref = mapping.get(pval, pval)
+            if not isinstance(name_or_ref, str):
+                return failure()
+            if self._FIXED_FIELD.match(name_or_ref):
+                try:
+                    target, _res, tptr = self.registry.resolve_ref_with_pointer(
+                        f"#/components/schemas/{name_or_ref}", base_uri)
+                    tspath = tptr if tptr is not None else tspath
+                except (KeyError, IndexError, TypeError):
+                    target = None
+            if target is None:
+                try:
+                    target, _res, tptr = self.registry.resolve_ref_with_pointer(
+                        name_or_ref, base_uri)
+                    tspath = tptr if tptr is not None else tspath
+                except (KeyError, IndexError, TypeError):
+                    return failure()
+
+        # skip_ref_once equivalents (openapi31/vocab/base.rb:8-21,115-118):
+        # dispatching into a schema that is already mid-evaluation = the
+        # child-standalone direction (child.allOf → parent → parent's
+        # discriminator must not dispatch back to the child)
+        if id(target) in self._eval_stack:
+            return _VALID
+        # while dispatching, a $ref back into this schema (the parent-
+        # dispatch direction) is skipped inside _eval_object's $ref handling
+        self._disc_stack.append(id(schema))
+        try:
+            # target errors flow through as-is — the reference emits no
+            # discriminator summary for a failed dispatch (open_api_test.rb
+            # missing_hunting_skill expectations)
+            return self._eval(target, instance, ipath, tspath, scope, dialect)
+        finally:
+            self._disc_stack.pop()
 
     # -- type dispatch ----------------------------------------------------------
 

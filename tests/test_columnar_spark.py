@@ -1,5 +1,9 @@
 """Columnar (pure-Column) tier: agreement with suite verdicts and with the
-interpreter tier, end-to-end on Spark."""
+interpreter tier, end-to-end on Spark.
+
+The FULL-suite sweep (every lowerable schema × every case) lives in
+scripts/columnar_sweep.py — run per-round; here we test a deterministic
+sample per draft plus targeted regressions from the round-1 ADVICE."""
 
 import json
 
@@ -8,6 +12,8 @@ import pyspark.sql.functions as F
 
 from json_schemer_spark import compile_schema
 from json_schemer_spark.schema.columnar import lowerable, validate_json_column_lowered
+from json_schemer_spark.schema.dialects import DRAFT202012
+from json_schemer_spark.schema.interpreter import Evaluator
 from json_schemer_spark.schema.suite import iter_cases, make_evaluator
 
 
@@ -16,19 +22,25 @@ def _lowerable_schemas(draft, limit):
     for c in iter_cases(draft):
         by_schema.setdefault(id(c.schema), (c.schema, []))[1].append(c)
     out = []
+    total = 0
     for _, (schema, cases) in by_schema.items():
+        total += 1
         dialect = make_evaluator(schema, draft).root_resource.dialect
         if lowerable(schema, dialect):
             out.append((schema, dialect, cases))
     # deterministic spread over the whole list
     step = max(1, len(out) // limit)
-    return out[::step][:limit]
+    return out[::step][:limit], len(out), total
 
 
-@pytest.mark.parametrize("draft", ["draft4", "draft7", "draft2020-12"])
+@pytest.mark.parametrize(
+    "draft", ["draft4", "draft6", "draft7", "draft2019-09", "draft2020-12"]
+)
 def test_columnar_matches_suite_sample(spark, draft):
-    sample = _lowerable_schemas(draft, limit=12)
+    sample, n_lowerable, n_total = _lowerable_schemas(draft, limit=15)
     assert sample, "no lowerable schemas found"
+    # the round-2 widening must not regress: most suite schemas lower
+    assert n_lowerable / n_total >= 0.70, f"{draft}: only {n_lowerable}/{n_total} lowerable"
     for schema, dialect, cases in sample:
         df = spark.createDataFrame(
             [(c.valid, json.dumps(c.data)) for c in cases],
@@ -77,3 +89,103 @@ def test_violation_pointers(spark):
     assert ("required", "") in flat
     # single-type failures carry the expected type name (classic convention)
     assert ("integer", "/a") in flat
+
+
+def test_dynamic_violation_pointers(spark):
+    """additionalProperties / items violations carry per-key / per-index
+    pointers built as Columns (round-2 _Multi machinery)."""
+    plan = compile_schema(
+        {"properties": {"a": {"type": "string"}},
+         "additionalProperties": False,
+         "patternProperties": {"^p": {"type": "integer"}}}
+    )
+    df = spark.createDataFrame([('{"a":"x","b":1,"p1":"no"}',)], "content string")
+    rows = plan.validate_json_column(df, "content").select("violations").collect()
+    flat = [(v.keyword, v.instance_pointer) for v in rows[0].violations]
+    assert ("schema", "/b") in flat
+    assert ("patternProperties", "/p1") in flat
+
+    plan2 = compile_schema({"items": {"type": "integer"}})
+    df2 = spark.createDataFrame([('[1, "x", 2, "y"]',)], "content string")
+    rows2 = plan2.validate_json_column(df2, "content").select("violations").collect()
+    flat2 = [(v.keyword, v.instance_pointer) for v in rows2[0].violations]
+    assert ("items", "/1") in flat2 and ("items", "/3") in flat2
+
+
+def _verdicts(spark, schema, datas, dialect=DRAFT202012):
+    assert lowerable(schema, dialect)
+    df = spark.createDataFrame([(json.dumps(d),) for d in datas], "content string")
+    out = validate_json_column_lowered(df, "content", schema, dialect)
+    got = [r.valid for r in out.select("valid").collect()]
+    ev = Evaluator(schema, dialect=dialect)
+    assert got == [ev.valid(d) for d in datas], f"tier disagreement on {schema}"
+    return got
+
+
+def test_advice_r1_key_collision(spark):
+    # ADVICE r1 (high): nested property chains must not alias flat names
+    got = _verdicts(
+        spark,
+        {"type": "object", "properties": {
+            "a": {"type": "object", "properties": {"b": {"type": "string"}}},
+            "a_p_b": {"type": "integer"}}},
+        [{"a": {"b": "ok"}, "a_p_b": 1}, {"a": {"b": 2}, "a_p_b": 1}],
+    )
+    assert got == [True, False]
+
+
+def test_advice_r1_bigint_precision(spark):
+    # ADVICE r1 (medium): exact comparisons beyond 2^53
+    assert _verdicts(spark, {"maximum": 9007199254740992},
+                     [9007199254740993, 9007199254740992]) == [False, True]
+    assert _verdicts(spark, {"const": 9007199254740993},
+                     [9007199254740993, 9007199254740992]) == [True, False]
+    assert _verdicts(spark, {"exclusiveMinimum": 9007199254740992},
+                     [9007199254740993, 9007199254740992]) == [True, False]
+
+
+def test_advice_r1_pattern_dollar(spark):
+    # ADVICE r1 (medium): ECMA '$' ≠ Java '$' before trailing newline
+    assert _verdicts(spark, {"pattern": "^foo$"}, ["foo", "foo\n"]) == [True, False]
+
+
+def test_ref_inlining_and_new_keywords(spark):
+    assert _verdicts(
+        spark,
+        {"$ref": "#/$defs/pos", "$defs": {"pos": {"type": "integer", "minimum": 1}}},
+        [3, 0, "x"],
+    ) == [True, False, False]
+    assert _verdicts(
+        spark,
+        {"contains": {"type": "integer"}, "minContains": 2, "maxContains": 3},
+        [[1, 2], ["a", 1], [1, 2, 3, 4]],
+    ) == [True, False, False]
+    assert _verdicts(spark, {"uniqueItems": True},
+                     [[1, 2], [1, 1.0], [{"a": 1}, {"a": 1}], ["1", 1]]) == [
+        True, False, False, True]
+    assert _verdicts(spark, {"enum": [[1, 2], {"a": "x"}, "s"]},
+                     [[1, 2], [2, 1], {"a": "x"}, "s", 4]) == [
+        True, False, True, True, False]
+    assert _verdicts(spark, {"dependentRequired": {"a": ["b"]}},
+                     [{"a": 1, "b": 2}, {"a": 1}, {}]) == [True, False, True]
+    assert _verdicts(spark, {"propertyNames": {"maxLength": 3}},
+                     [{"abc": 1}, {"abcd": 1}]) == [True, False]
+    assert _verdicts(
+        spark,
+        {"prefixItems": [{"type": "integer"}], "items": {"type": "string"}},
+        [[1, "a"], [1, 2], ["x"]],
+    ) == [True, False, False]
+    assert _verdicts(
+        spark,
+        {"properties": {"a": {}}, "unevaluatedProperties": False},
+        [{"a": 1}, {"a": 1, "b": 2}],
+    ) == [True, False]
+
+
+def test_interpreter_never_matching_pattern():
+    # ADVICE r1 (low): ECMA-valid but Python-uncompilable patterns must not
+    # crash — '[]' matches nothing in ECMA
+    ev = Evaluator({"pattern": "a[]b"}, dialect=DRAFT202012)
+    assert not ev.valid("anything")
+    ev2 = Evaluator({"patternProperties": {"x[]y": {"type": "integer"}}}, dialect=DRAFT202012)
+    assert ev2.valid({"k": "v"})
