@@ -38,6 +38,14 @@ class CompiledSchema:
         base_uri: str = DEFAULT_BASE_URI,
         formats: Optional[dict[str, Callable]] = None,
         keywords: Optional[dict[str, Callable]] = None,
+        # extension surface (reference configuration.rb / SURVEY.md §2.7)
+        before_property_validation: Any = None,
+        after_property_validation: Any = None,
+        insert_property_defaults: bool = False,
+        property_default_resolver: Optional[Callable] = None,
+        regexp_resolver: Optional[Callable] = None,
+        content_encodings: Optional[dict[str, Callable]] = None,
+        content_media_types: Optional[dict[str, Callable]] = None,
     ) -> None:
         if isinstance(schema, str):
             schema = json.loads(schema)
@@ -45,6 +53,15 @@ class CompiledSchema:
         self.assert_formats = assert_formats
         self.formats = formats
         self.keywords = keywords
+        self._ext_opts = dict(
+            before_property_validation=before_property_validation,
+            after_property_validation=after_property_validation,
+            insert_property_defaults=insert_property_defaults,
+            property_default_resolver=property_default_resolver,
+            regexp_resolver=regexp_resolver,
+            content_encodings=content_encodings,
+            content_media_types=content_media_types,
+        )
         self._evaluator = Evaluator(
             schema,
             base_uri=base_uri,
@@ -53,13 +70,15 @@ class CompiledSchema:
             assert_formats=assert_formats,
             formats=formats,
             keywords=keywords,
+            **self._ext_opts,
         )
         # registry-derived: honors $schema dispatch incl. custom $vocabulary
         self.dialect = self._evaluator.root_resource.dialect
 
     # -- driver-side single-value API (tests / small data) -------------------
 
-    def validate_value(self, instance: Any, output_format: str = "classic") -> Any:
+    def validate_value(self, instance: Any, output_format: str = "classic",
+                       access_mode: Optional[str] = None) -> Any:
         """Single-value validation in one of the reference's output formats
         (result.rb:13-28): flag | classic | basic | detailed.
 
@@ -69,7 +88,7 @@ class CompiledSchema:
                     instanceLocation/keywordLocation keys
         - detailed: classic errors grouped by instance location
         """
-        res = self._evaluator.validate(instance)
+        res = self._evaluator.validate(instance, access_mode=access_mode)
         if output_format == "flag":
             return {"valid": res["valid"]}
         if output_format == "classic":
@@ -94,18 +113,20 @@ class CompiledSchema:
             return {"valid": res["valid"], "errors_by_location": grouped}
         raise ValueError(f"unknown output_format {output_format!r}")
 
-    def valid_value(self, instance: Any) -> bool:
-        return self._evaluator.valid(instance)
+    def valid_value(self, instance: Any, access_mode: Optional[str] = None) -> bool:
+        return self._evaluator.validate(instance, access_mode=access_mode)["valid"]
 
     # -- Spark API ------------------------------------------------------------
 
     def is_lowerable(self) -> bool:
         """True when the whole plan lowers to pure Column expressions.
 
-        Format assertion and custom keywords force the interpreter tier —
-        the lowering treats ``format`` as an annotation and knows nothing
-        about user callables."""
+        Format assertion, custom keywords, hooks, defaults insertion and
+        pluggable resolvers force the interpreter tier — the lowering treats
+        ``format`` as an annotation and knows nothing about user callables."""
         if self.assert_formats or self.keywords:
+            return False
+        if any(v for v in self._ext_opts.values()):
             return False
         from json_schemer_spark.schema.columnar import lowerable
 
@@ -134,6 +155,7 @@ class CompiledSchema:
         # user extension callables ride the pickled closure to executors
         formats = self.formats
         keywords = self.keywords
+        ext_opts = self._ext_opts
 
         def build() -> Evaluator:
             from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
@@ -145,6 +167,7 @@ class CompiledSchema:
                 assert_formats=assert_formats,
                 formats=formats,
                 keywords=keywords,
+                **ext_opts,
             )
 
         return build
@@ -209,19 +232,12 @@ def _append_fields(schema):
     )
 
 
-def compile_schema(
-    schema: Any,
-    dialect: Optional[Dialect] = None,
-    ref_resolver: Optional[Callable[[str], Any]] = None,
-    assert_formats: bool = False,
-    formats: Optional[dict[str, Callable]] = None,
-    keywords: Optional[dict[str, Callable]] = None,
-) -> CompiledSchema:
-    return CompiledSchema(
-        schema,
-        dialect=dialect,
-        ref_resolver=ref_resolver,
-        assert_formats=assert_formats,
-        formats=formats,
-        keywords=keywords,
-    )
+def compile_schema(schema: Any, **options) -> CompiledSchema:
+    """Compile a JSON Schema document into a :class:`CompiledSchema` plan.
+
+    Options mirror the reference's configuration surface
+    (configuration.rb:3-31): dialect, ref_resolver, assert_formats, formats,
+    keywords, before/after_property_validation, insert_property_defaults,
+    property_default_resolver, regexp_resolver, content_encodings,
+    content_media_types, base_uri."""
+    return CompiledSchema(schema, **options)

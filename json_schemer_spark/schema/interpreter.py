@@ -70,6 +70,95 @@ class _Result:
 _VALID = _Result(True, None, None, None)
 
 
+def _builtin_base64(value: Any):
+    import base64
+    import binascii
+
+    try:
+        return True, base64.b64decode(value, validate=True)
+    except (binascii.Error, ValueError, TypeError):
+        return False, None
+
+
+def _builtin_json_media(value: Any):
+    import json as _json
+
+    try:
+        return True, _json.loads(value)
+    except (ValueError, TypeError, UnicodeDecodeError):
+        return False, None
+
+
+# reference lib/json_schemer/content.rb:4-17
+_BUILTIN_ENCODINGS: dict[str, Callable] = {"base64": _builtin_base64}
+_BUILTIN_MEDIA_TYPES: dict[str, Callable] = {"application/json": _builtin_json_media}
+
+_X_ERROR_VAR = re.compile(r"%\{(\w+)\}")
+
+
+def _interpolate_x_error(template: str, instance: Any, ipath: str,
+                         keyword: str, keyword_value: Any, spath: str) -> str:
+    """``%{var}`` interpolation for x-error templates (result.rb:243-257)."""
+    import json as _json
+
+    def fmt(v):
+        return v if isinstance(v, str) else _json.dumps(v)
+
+    variables = {
+        "instance": fmt(instance),
+        "instanceLocation": ipath or "",
+        "formattedInstanceLocation": f"`{ipath or 'root'}`",
+        "keyword": keyword,
+        "keywordValue": fmt(keyword_value),
+        "keywordLocation": f"{spath}/{keyword}",
+    }
+    return _X_ERROR_VAR.sub(lambda m: variables.get(m.group(1), m.group(0)), template)
+
+
+class _DefaultsCollector:
+    """insert_property_defaults support (reference result.rb:181-217,
+    schema.rb:32-44): candidate defaults for missing properties, each with
+    the chain of ancestor-validity cells (tree validity is only known after
+    the full evaluation — cells are filled as each node finishes)."""
+
+    def __init__(self) -> None:
+        self.stack: list[list] = []
+        # (instance_dict, property, default_value, ancestor-cells snapshot)
+        self.records: list[tuple] = []
+
+    def add(self, instance: dict, prop: str, value: Any) -> None:
+        self.records.append((instance, prop, value, list(self.stack)))
+
+    def apply(self, resolver: Callable) -> bool:
+        grouped: dict[tuple, tuple] = {}
+        for inst, prop, val, chain in self.records:
+            key = (id(inst), prop)
+            grouped.setdefault(key, (inst, prop, []))[2].append(
+                (val, all(c[0] for c in chain))
+            )
+        inserted = False
+        for inst, prop, results in grouped.values():
+            if resolver(inst, prop, results) is not False:
+                inserted = True
+        return inserted
+
+
+def default_property_default_resolver(instance: dict, prop: str, results: list) -> bool:
+    """Reference DEFAULT_PROPERTY_DEFAULT_RESOLVER (schema.rb:32-44): keep
+    tree-valid candidates (unless there is only one), insert iff they agree
+    on exactly one distinct value."""
+    import copy
+    import json as _json
+
+    if len(results) != 1:
+        results = [r for r in results if r[1]]
+    distinct = {_json.dumps(v, sort_keys=True) for v, _ in results}
+    if len(distinct) == 1:
+        instance[prop] = copy.deepcopy(results[0][0])
+        return True
+    return False
+
+
 class Evaluator:
     """Compiled evaluator for one root schema (+ its reachable resources)."""
 
@@ -83,6 +172,13 @@ class Evaluator:
         assert_formats: bool = False,
         formats: Optional[dict[str, Callable[[Any, Any], bool]]] = None,
         keywords: Optional[dict[str, Callable]] = None,
+        before_property_validation: Any = None,
+        after_property_validation: Any = None,
+        insert_property_defaults: bool = False,
+        property_default_resolver: Optional[Callable] = None,
+        regexp_resolver: Optional[Callable[[str], Any]] = None,
+        content_encodings: Optional[dict[str, Callable]] = None,
+        content_media_types: Optional[dict[str, Callable]] = None,
     ) -> None:
         if not isinstance(root_schema, (dict, bool)):
             raise SchemaCompileError(f"schema must be an object or boolean, got {type(root_schema)}")
@@ -108,14 +204,47 @@ class Evaluator:
         # ids of schemas currently dispatching / currently being evaluated
         self._disc_stack: list[int] = []
         self._eval_stack: list[int] = []
+        # extension surface (reference schema.rb:32-44,108-118,311-360;
+        # applicator.rb:232-260; SURVEY.md §2.7)
+        def _as_list(h):
+            if h is None:
+                return []
+            return list(h) if isinstance(h, (list, tuple)) else [h]
+
+        self.before_property_validation = _as_list(before_property_validation)
+        self.after_property_validation = _as_list(after_property_validation)
+        self.insert_property_defaults = bool(insert_property_defaults)
+        self.property_default_resolver = property_default_resolver
+        self.regexp_resolver = regexp_resolver
+        self.content_encodings = content_encodings or {}
+        self.content_media_types = content_media_types or {}
+        # per-validate state (Evaluator is used single-threaded per row)
+        self._access_mode: Optional[str] = None
+        self._defaults: Optional[_DefaultsCollector] = None
+        self._not_depth = 0
 
     # -- public API -------------------------------------------------------
 
-    def validate(self, instance: Any) -> dict[str, Any]:
-        """Full validation → {'valid': bool, 'errors': [violation rows]}."""
+    def validate(self, instance: Any, access_mode: Optional[str] = None) -> dict[str, Any]:
+        """Full validation → {'valid': bool, 'errors': [violation rows]}.
+
+        ``access_mode`` ('read'/'write') activates readOnly/writeOnly
+        assertions (reference meta_data.rb:6-26, schema.rb:108)."""
+        if self.insert_property_defaults:
+            self._defaults = _DefaultsCollector()
+            self._run(instance, access_mode)
+            resolver = self.property_default_resolver or default_property_default_resolver
+            inserted = self._defaults.apply(resolver)
+            self._defaults = None
+            # reference revalidates ONCE after insertion (schema.rb:111-114)
+            return self._run(instance, access_mode)
+        return self._run(instance, access_mode)
+
+    def _run(self, instance: Any, access_mode: Optional[str] = None) -> dict[str, Any]:
         scope = [self.root_resource]
         info = self.registry.info(self.root)
         root_spath = info.pointer if info is not None else ""
+        self._access_mode = access_mode
         try:
             r = self._eval(self.root, instance, "", root_spath, scope, self.root_resource.dialect)
         except RecursionError:
@@ -142,6 +271,12 @@ class Evaluator:
         if rx is None:
             from json_schemer_spark.schema.ecma_regex import EcmaRegexError, compile_ecma
 
+            if self.regexp_resolver is not None:
+                # pluggable pattern→regex (reference schema.rb:351-360);
+                # must return an object with .search
+                rx = self.regexp_resolver(pattern)
+                self._regex_cache[pattern] = rx
+                return rx
             try:
                 rx = compile_ecma(pattern)
             except EcmaRegexError:
@@ -198,12 +333,22 @@ class Evaluator:
         dialect: Dialect,
         base_uri: str,
     ) -> _Result:
-        # track in-flight schema nodes (discriminator loop guard)
+        # track in-flight schema nodes (discriminator loop guard) and the
+        # ancestor-validity cell chain (insert_property_defaults)
         self._eval_stack.append(id(schema))
+        cell = None
+        if self._defaults is not None and self._not_depth == 0:
+            cell = [True]
+            self._defaults.stack.append(cell)
         try:
-            return self._eval_object_inner(
+            r = self._eval_object_inner(
                 schema, instance, ipath, spath, scope, dialect, base_uri)
+            if cell is not None:
+                cell[0] = r.valid
+            return r
         finally:
+            if cell is not None:
+                self._defaults.stack.pop()
             self._eval_stack.pop()
 
     def _eval_object_inner(
@@ -235,13 +380,28 @@ class Evaluator:
 
         valid = True
 
+        x_error = schema.get("x-error")
+
         def fail(keyword: str, message: str, at: str = None) -> None:
             # classic-output convention (reference result.rb:162-179): the
             # schema pointer addresses the schema OBJECT; the failing
             # keyword rides in the type field
             nonlocal valid
             valid = False
-            errors.append((keyword, at if at is not None else ipath, spath, message))
+            at_path = at if at is not None else ipath
+            if x_error is not None:
+                # custom message templates with %{var} interpolation
+                # (core.rb:122-126 XError; result.rb:28-35,243-257)
+                template = (
+                    x_error.get(keyword, x_error.get("*"))
+                    if isinstance(x_error, dict) else x_error
+                )
+                if isinstance(template, str):
+                    message = _interpolate_x_error(
+                        template, instance, at_path, keyword,
+                        schema.get(keyword), spath,
+                    )
+            errors.append((keyword, at_path, spath, message))
 
         # --- referencing -------------------------------------------------
         ref = schema.get("$ref")
@@ -313,6 +473,13 @@ class Evaluator:
             if not json_equal(instance, schema["const"]):
                 fail("const", "value does not equal const")
 
+        # --- readOnly / writeOnly under access_mode (meta_data.rb:6-26) ----
+        if self._access_mode:
+            if schema.get("readOnly") is True and self._access_mode != "read":
+                fail("readOnly", f"value at {ipath or '/'} is `readOnly`")
+            if schema.get("writeOnly") is True and self._access_mode != "write":
+                fail("writeOnly", f"value at {ipath or '/'} is `writeOnly`")
+
         # --- format assertion (all instance types — checkers vacuous-pass
         # non-applicable types, reference format.rb:5-68; OAS int32/int64/
         # float/double apply to numbers, openapi31/meta.rb:5-12) ------------
@@ -375,22 +542,22 @@ class Evaluator:
             ):
                 decoded: Any = instance
                 ok = True
-                if schema.get("contentEncoding") == "base64":
-                    import base64
-                    import binascii
-
-                    try:
-                        decoded = base64.b64decode(instance, validate=True)
-                    except (binascii.Error, ValueError):
-                        ok = False
-                        fail("contentEncoding", "not valid base64")
-                if ok and schema.get("contentMediaType") == "application/json":
-                    import json as _json
-
-                    try:
-                        _json.loads(decoded)
-                    except (ValueError, TypeError, UnicodeDecodeError):
-                        fail("contentMediaType", "not parseable as application/json")
+                enc = schema.get("contentEncoding")
+                if enc is not None:
+                    codec = self.content_encodings.get(enc) or _BUILTIN_ENCODINGS.get(enc)
+                    if codec is not None:
+                        ok, dec2 = codec(decoded)
+                        if ok:
+                            decoded = dec2
+                        else:
+                            fail("contentEncoding", f"not valid {enc}")
+                mt = schema.get("contentMediaType")
+                if ok and mt is not None:
+                    parser = self.content_media_types.get(mt) or _BUILTIN_MEDIA_TYPES.get(mt)
+                    if parser is not None:
+                        ok2, _parsed = parser(decoded)
+                        if not ok2:
+                            fail("contentMediaType", f"not parseable as {mt}")
 
         # --- arrays ---------------------------------------------------------
         elif isinstance(instance, list):
@@ -473,7 +640,20 @@ class Evaluator:
                 fail("minProperties", f"{n} properties < {schema['minProperties']}")
             req = schema.get("required") if v_on else None
             if isinstance(req, list):
-                missing = [k for k in req if k not in instance]
+                req_keys = req
+                if self._access_mode and isinstance(schema.get("properties"), dict):
+                    # required trims keys inapplicable under the access mode
+                    # (validation.rb:243-266)
+                    def _inapplicable(k):
+                        sub = schema["properties"].get(k)
+                        if not isinstance(sub, dict):
+                            return False
+                        if self._access_mode == "write" and sub.get("readOnly") is True:
+                            return True
+                        return self._access_mode == "read" and sub.get("writeOnly") is True
+
+                    req_keys = [k for k in req if not _inapplicable(k)]
+                missing = [k for k in req_keys if k not in instance]
                 if missing:
                     fail("required", f"missing required properties: {missing}")
 
@@ -493,6 +673,17 @@ class Evaluator:
             properties = schema.get("properties")
             matched_keys: set = set()
             if isinstance(properties, dict):
+                # before_property_validation hooks mutate the instance
+                # around the `properties` application (applicator.rb:232-240)
+                for hook in self.before_property_validation:
+                    for k, sub in properties.items():
+                        hook(instance, k, sub, schema)
+                if self._defaults is not None and self._not_depth == 0:
+                    for k, sub in properties.items():
+                        if k not in instance:
+                            d = self._resolve_default(sub, base_uri)
+                            if d is not None:
+                                self._defaults.add(instance, k, d[0])
                 for k, sub in properties.items():
                     if k in instance:
                         r = self._eval(sub, instance[k], join_pointer(ipath, k),
@@ -500,6 +691,9 @@ class Evaluator:
                         if not merge(r):
                             valid = False
                         matched_keys.add(k)
+                for hook in self.after_property_validation:
+                    for k, sub in properties.items():
+                        hook(instance, k, sub, schema)
 
             pattern_props = schema.get("patternProperties")
             if isinstance(pattern_props, dict):
@@ -619,7 +813,12 @@ class Evaluator:
                                    f"{n_valid} subschemas matched, need exactly 1"))
 
         if "not" in schema:
-            r = self._eval(schema["not"], instance, ipath, f"{spath}/not", scope, dialect)
+            # defaults are never collected under `not` (result.rb:186)
+            self._not_depth += 1
+            try:
+                r = self._eval(schema["not"], instance, ipath, f"{spath}/not", scope, dialect)
+            finally:
+                self._not_depth -= 1
             if r.valid:
                 fail("not", "instance matched 'not' subschema")
 
@@ -704,6 +903,24 @@ class Evaluator:
         tinfo = self.registry.info(target)
         tptr = tinfo.pointer if tinfo is not None else f"{spath}/$recursiveRef"
         return self._eval(target, instance, ipath, tptr, scope, dialect)
+
+    def _resolve_default(self, sub: Any, base_uri: str, depth: int = 0):
+        """The `default` keyword of a property subschema, resolved through
+        ``$ref``/``$dynamicRef`` chains (reference schema.rb default keyword
+        resolution for insert_property_defaults). Returns a 1-tuple (so a
+        literal None default is distinguishable) or None."""
+        if not isinstance(sub, dict) or depth > 16:
+            return None
+        if "default" in sub:
+            return (sub["default"],)
+        ref = sub.get("$ref") or sub.get("$dynamicRef") or sub.get("$recursiveRef")
+        if isinstance(ref, str):
+            try:
+                target, res, _ptr = self.registry.resolve_ref_with_pointer(ref, base_uri)
+            except (KeyError, IndexError, TypeError):
+                return None
+            return self._resolve_default(target, res.uri, depth + 1)
+        return None
 
     # -- OpenAPI discriminator (openapi31/vocab/base.rb:36-123) -----------------
 

@@ -88,6 +88,7 @@ class OpenAPISchema(CompiledSchema):
         self.assert_formats = assert_formats
         self.formats = formats
         self.keywords = keywords
+        self._ext_opts: dict = {}
         self._evaluator = build_document_evaluator(
             document, pointer, dialect,
             ref_resolver=ref_resolver, assert_formats=assert_formats,
