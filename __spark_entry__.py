@@ -29,6 +29,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _corpus_cached(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Materialize the synthetic corpus once per (host, n_rows) so corpus
+    queries measure the OPERATORS, not generation (round-1 review)."""
+    import os
+
+    from json_schemer_spark.sources.corpus import generate_corpus
+
+    path = f"/tmp/jss_corpus_cache_{n_rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_corpus(spark, n_rows).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: validate events.props, violations rolled up by keyword."""
     return q12_json_props_validate(spark, SF0001)
@@ -286,9 +299,9 @@ def q22_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship corpus validation: synthetic (repo,path,commit,lang,content)
     table → per-repo verdict rollup. All-JVM columnar tier."""
     from json_schemer_spark import compile_schema
-    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA, generate_corpus
+    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA
 
-    corpus = generate_corpus(spark, 50_000)
+    corpus = _corpus_cached(spark, 50_000)
     plan = compile_schema(FLAGSHIP_SCHEMA)
     out = plan.validate_json_column(corpus, "content")
     return (
@@ -303,9 +316,9 @@ def q22_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_corpus_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule repo→commit existence anti-join on the synthetic corpus."""
     from json_schemer_spark.operators.referential import dangling_references
-    from json_schemer_spark.sources.corpus import generate_commits_dim, generate_corpus
+    from json_schemer_spark.sources.corpus import generate_commits_dim
 
-    corpus = generate_corpus(spark, 50_000)
+    corpus = _corpus_cached(spark, 50_000)
     dim = generate_commits_dim(spark)
     bad = dangling_references(corpus, dim, ["repo", "commit"])
     return bad.groupBy("repo").agg(F.count(F.lit(1)).alias("n_dangling"))
@@ -339,6 +352,25 @@ def q26_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "feat_dim", "decode_ok")
 
 
+def q27_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ANN scale path (round-1 review): multi-table SRP-LSH top-k,
+    recall measured against the brute-force exact top-k. The synthetic
+    embeddings are near-isotropic (top-1 cosine ≈ 0.37 — LSH-hostile), so
+    the documented target is avg recall ≥ 0.9 at (p=4, L=16, probes=1);
+    see tests/test_operators.py for the clustered-data ≥ 0.95 case."""
+    from json_schemer_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries_df, k=10)
+    approx = lsh_topk(emb, queries_df, dim=64, k=10, n_planes=4, probes=1, n_tables=16)
+    return ann_recall(approx, exact, k=10).select("query_id", "n_hits", "recall")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -367,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_quality_scores": q24_quality_scores,
         "q25_lang_id": q25_lang_id,
         "q26_media_features": q26_media_features,
+        "q27_ann_lsh_recall": q27_ann_lsh_recall,
     }
 
 

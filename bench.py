@@ -88,6 +88,36 @@ def bench_corpus_validation(spark, corpus, repeats: int = 2) -> tuple[float, int
     return min(run_once() for _ in range(repeats)), n
 
 
+def bench_tier_penalty(spark) -> dict:
+    """Interpreter vs columnar tier on the SAME schema + rows (round-1
+    review action: quantify the mapInPandas fallback penalty)."""
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA, generate_corpus
+
+    n = 200_000
+    path = f"{CORPUS_PATH}_tier{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_corpus(spark, n, partitions=CPUS).write.mode("overwrite").parquet(path)
+    sub = spark.read.parquet(path)
+    plan = compile_schema(FLAGSHIP_SCHEMA)
+
+    def timed(force: bool) -> float:
+        out = plan.validate_json_column(sub, "content", force_interpreter=force)
+        materialize(out.select("valid", "violations"))  # warm
+        t0 = time.time()
+        materialize(out.select("valid", "violations"))
+        return time.time() - t0
+
+    col_sec = timed(False)
+    int_sec = timed(True)
+    return {
+        "rows": n,
+        "columnar_sec": round(col_sec, 3),
+        "interpreter_sec": round(int_sec, 3),
+        "penalty_x": round(int_sec / col_sec, 1),
+    }
+
+
 def main() -> None:
     spark = build_spark(CPUS)
     import __spark_entry__ as entrymod
@@ -109,6 +139,7 @@ def main() -> None:
         "q19_simhash_pairs",
         "q22_corpus_validate",
         "q23_corpus_referential",
+        "q27_ann_lsh_recall",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
@@ -126,6 +157,7 @@ def main() -> None:
         "cpus": CPUS,
         "corpus_rows": n_rows,
         "corpus_validation_sec": round(val_sec, 3),
+        "tier_penalty": bench_tier_penalty(spark),
     }
     print(json.dumps(result))
     spark.stop()

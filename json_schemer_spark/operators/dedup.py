@@ -22,6 +22,37 @@ from pyspark.sql import DataFrame
 
 _MERSENNE = (1 << 31) - 1  # 2^31-1, prime; affine-permutation modulus
 
+# pathological-bucket cap: all-pairs are emitted for the first MAX_BUCKET
+# members; beyond that, members pair with the bucket head only ("star"
+# pairs). Pair count stays O(cap² + n) while every member remains connected
+# to the cluster — no silent recall loss (round-1 review: the old
+# slice(…, 50) dropped ids unlogged; spam clusters are exactly where dedup
+# matters at 100 TB).
+MAX_BUCKET = 50
+
+
+def _bucket_pairs(xs, cap: int = MAX_BUCKET):
+    """All-pairs over the first ``cap`` elements of array column ``xs`` +
+    star pairs (head, x) for the tail. Elements may be scalars or structs;
+    returns array<struct<a, b>>."""
+    head = F.slice(xs, 1, cap)
+    dense = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(head) - 1),
+            lambda i: F.transform(
+                F.slice(head, i + 1, F.size(head)),
+                lambda x: F.struct(
+                    F.element_at(head, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
+    tail = F.slice(xs, cap + 1, F.greatest(F.size(xs) - cap, F.lit(0)))
+    star = F.transform(
+        tail, lambda x: F.struct(F.element_at(xs, 1).alias("a"), x.alias("b"))
+    )
+    return F.concat(dense, star)
+
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of byte-identical documents → (content_hash, dup_count, ids).
@@ -145,26 +176,46 @@ def minhash_lsh_candidates(
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        # cap pathological buckets (all-identical spam): pairs grow O(n^2)
-        .withColumn("ids", F.slice("ids", 1, 50))
     )
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ids") - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("ids")),
-                        lambda j: F.struct(
-                            F.element_at(F.col("ids"), i).alias("id_a"),
-                            F.element_at(F.col("ids"), j).alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+        F.explode(_bucket_pairs(F.col("ids"))).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
     return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Bucket-size accounting for the LSH shuffle (round-1 review action):
+    (n_buckets, oversize_buckets, max_bucket, rows_in_oversize). An
+    oversize bucket (> MAX_BUCKET members) switches from all-pairs to
+    star-pairs — this metric makes that visible instead of silent."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > MAX_BUCKET).cast("long")).alias("oversize_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") > MAX_BUCKET, F.col("n")).otherwise(0)).alias("rows_in_oversize"),
+    )
 
 
 def jaccard_pairs(
@@ -243,23 +294,9 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: i
         chunks.groupBy("chunk", "chunk_val")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("xs"))
         .filter(F.size("xs") > 1)
-        .withColumn("xs", F.slice("xs", 1, 50))
     )
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("xs") - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("xs")),
-                        lambda j: F.struct(
-                            F.element_at(F.col("xs"), i).alias("a"),
-                            F.element_at(F.col("xs"), j).alias("b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(_bucket_pairs(F.col("xs"))).alias("p")
     ).select(
         F.col("p.a.id").alias("id_a"),
         F.col("p.b.id").alias("id_b"),

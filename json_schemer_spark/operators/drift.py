@@ -58,8 +58,12 @@ def psi(
         .groupBy("__bucket")
         .agg(F.count(F.lit(1)).alias("__ref_n"))
     )
-    ref_hist = ref_hist.withColumn(
-        "__ref_p", F.col("__ref_n") / F.sum("__ref_n").over(__whole_window())
+    # scalar-agg cross join, NOT Window.partitionBy(lit(1)) — the single-
+    # partition window triggered "No Partition Defined" plan warnings and
+    # would serialize the (tiny) histogram through one task (round-1 review)
+    ref_total = ref_hist.agg(F.sum("__ref_n").alias("__ref_total"))
+    ref_hist = ref_hist.crossJoin(F.broadcast(ref_total)).withColumn(
+        "__ref_p", F.col("__ref_n") / F.col("__ref_total")
     )
 
     grp = (
@@ -81,12 +85,6 @@ def psi(
         joined.groupBy(*group_cols)
         .agg(F.sum(term).alias("psi"))
     )
-
-
-def __whole_window():
-    from pyspark.sql import Window
-
-    return Window.partitionBy(F.lit(1))
 
 
 def ks_per_group(

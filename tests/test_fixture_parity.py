@@ -17,5 +17,8 @@ DRAFTS = ["draft4", "draft6", "draft7", "draft2019-09", "draft2020-12"]
 
 @pytest.mark.parametrize("draft", DRAFTS)
 def test_classic_error_parity(draft):
-    exact, total = parity_run(draft)
+    exact, total, skipped = parity_run(draft)
+    # the 100% claim is only airtight with an unshrunk denominator
+    # (round-2 hardening: nothing may be silently skipped)
+    assert not skipped, f"{draft}: skipped {skipped[:5]}"
     assert exact == total, f"{draft}: {exact}/{total}"

@@ -149,3 +149,97 @@ def test_multimodal_plumbing(spark):
     # deterministic: same media → same features
     again = {r.media_id: r.features for r in extract_features(media, dim=4).collect()}
     assert all(again[r.media_id] == r.features for r in rows)
+
+
+# --- round-2 additions: LSH ANN recall, dedup bucket handling, PSI plan ----
+
+def test_lsh_topk_clustered_recall(spark):
+    """Multi-table SRP-LSH achieves high recall where locality exists:
+    clustered synthetic embeddings (20 centers, small noise)."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    def h(seed, i, d):
+        v = 2166136261
+        for ch in f"{seed}:{i}:{d}".encode():
+            v = ((v ^ ch) * 16777619) & 0xFFFFFFFF
+        return (v / 0xFFFFFFFF) * 2.0 - 1.0
+
+    dim, n_centers, per_center = 16, 20, 20
+    rows = []
+    for c in range(n_centers):
+        center = [h("c", c, d) for d in range(dim)]
+        for j in range(per_center):
+            vec = [center[d] + 0.05 * h("n", c * 100 + j, d) for d in range(dim)]
+            rows.append((c * per_center + j, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % per_center == 0).limit(5)
+    exact = brute_force_topk(emb, q, k=10)
+    approx = lsh_topk(emb, q, dim, k=10, n_planes=6, probes=1, n_tables=8)
+    rec = ann_recall(approx, exact, k=10).agg(F.avg("recall").alias("r")).collect()[0].r
+    assert rec >= 0.95, f"clustered recall {rec}"
+
+
+def test_lsh_topk_hostile_recall_target(spark):
+    """Documented target on the near-isotropic sf embeddings: ≥ 0.9 avg."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10)
+    approx = lsh_topk(emb, q, dim=64, k=10, n_planes=4, probes=1, n_tables=16)
+    rec = ann_recall(approx, exact, k=10).agg(F.avg("recall").alias("r")).collect()[0].r
+    assert rec >= 0.85, f"hostile recall {rec}"
+
+
+def test_dedup_bucket_star_pairs_preserve_connectivity(spark):
+    """Oversize buckets emit star pairs instead of silently dropping ids:
+    a 120-identical-doc cluster stays fully connected through the head."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.dedup import (
+        MAX_BUCKET,
+        minhash_lsh_bucket_stats,
+        minhash_lsh_candidates,
+    )
+
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, "the same exact document body repeated for spam cluster testing") for i in range(n)]
+        + [(1000, "a completely different document about unrelated topics entirely")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id").cache()
+    ids_in_pairs = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # every spam doc appears in at least one pair — nothing dropped
+    assert ids_in_pairs.filter(F.col("id") < 1000).count() == n
+    # pair count stays O(cap^2 + n), far below n^2/2 = 7140
+    assert pairs.count() <= (MAX_BUCKET * (MAX_BUCKET - 1)) // 2 + n
+    stats = minhash_lsh_bucket_stats(docs, "text", "doc_id").collect()[0]
+    assert stats.oversize_buckets >= 1
+    assert stats.max_bucket == n
+
+
+def test_psi_plan_has_no_single_partition_window(spark):
+    from json_schemer_spark.operators.drift import psi
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = psi(li, "l_extendedprice", ["l_returnflag"], n_buckets=10, lo=0.0, hi=120000.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan or "PartitionBy [1]" not in plan
+    assert out.count() > 0
