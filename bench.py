@@ -94,7 +94,7 @@ def bench_tier_penalty(spark) -> dict:
     from json_schemer_spark import compile_schema
     from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA, generate_corpus
 
-    n = 200_000
+    n = 1_000_000
     path = f"{CORPUS_PATH}_tier{n}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         generate_corpus(spark, n, partitions=CPUS).write.mode("overwrite").parquet(path)

@@ -80,37 +80,83 @@ class CompiledSchema:
     def validate_value(self, instance: Any, output_format: str = "classic",
                        access_mode: Optional[str] = None) -> Any:
         """Single-value validation in one of the reference's output formats
-        (result.rb:13-28): flag | classic | basic | detailed.
+        (result.rb:13-28): flag | classic | basic | detailed | verbose.
 
         - flag:     {"valid": bool}
         - classic:  list of error rows (default; empty when valid)
-        - basic:    2019-09 style {"valid", "errors": [...]} with
-                    instanceLocation/keywordLocation keys
-        - detailed: classic errors grouped by instance location
+        - basic:    2019-09 output format — root unit with flat ``errors``
+                    (invalid) / ``annotations`` (valid) lists; validates
+                    against the suite's output-schema (output-tests replay)
+        - detailed: basic shape with errors grouped per instance location
+        - verbose:  basic shape carrying BOTH error and annotation units
+                    (flat, not the reference's full nested tree)
         """
-        res = self._evaluator.validate(instance, access_mode=access_mode)
+        collect = output_format in ("basic", "detailed", "verbose")
+        res = self._evaluator.validate(
+            instance, access_mode=access_mode, collect_annotations=collect
+        )
         if output_format == "flag":
             return {"valid": res["valid"]}
         if output_format == "classic":
             return res["errors"]
-        if output_format == "basic":
+
+        base_uri = self._evaluator.root_resource.uri
+
+        type_names = {"null", "boolean", "number", "integer", "string", "array", "object"}
+
+        def error_unit(e):
+            # classic rows carry the expected TYPE NAME for single-type
+            # failures; output units address the actual `type` keyword
+            kw = "type" if e["keyword"] in type_names else e["keyword"]
+            kloc = f"{e['schema_pointer']}/{kw}"
             return {
-                "valid": res["valid"],
-                "errors": [
-                    {
-                        "instanceLocation": e["instance_pointer"],
-                        "keywordLocation": e["schema_pointer"],
-                        "error": e["message"],
-                        "type": e["keyword"],
-                    }
-                    for e in res["errors"]
-                ],
+                "valid": False,
+                "keywordLocation": kloc,
+                "absoluteKeywordLocation": f"{base_uri}#{kloc}",
+                "instanceLocation": e["instance_pointer"],
+                "error": e["message"],
             }
+
+        def ann_unit(a):
+            return {
+                "valid": True,
+                "keywordLocation": a["schema_pointer"],
+                "absoluteKeywordLocation": f"{base_uri}#{a['schema_pointer']}",
+                "instanceLocation": a["instance_pointer"],
+                "annotation": a["annotation"],
+            }
+
+        root = {"valid": res["valid"], "keywordLocation": "", "instanceLocation": ""}
+        errors = [error_unit(e) for e in res["errors"]]
+        annotations = [ann_unit(a) for a in res.get("annotations", [])]
+
+        if output_format == "basic":
+            if errors:
+                root["errors"] = errors
+            elif annotations:
+                root["annotations"] = annotations
+            return root
+        if output_format == "verbose":
+            if errors:
+                root["errors"] = errors
+            if annotations:
+                root["annotations"] = annotations
+            return root
         if output_format == "detailed":
-            grouped: dict[str, list] = {}
-            for e in res["errors"]:
-                grouped.setdefault(e["instance_pointer"], []).append(e)
-            return {"valid": res["valid"], "errors_by_location": grouped}
+            # group error units per instance location (pruned-hierarchy
+            # approximation of result.rb:136-150 over flat rows)
+            by_loc: dict[str, list] = {}
+            for e in errors:
+                by_loc.setdefault(e["instanceLocation"], []).append(e)
+            if errors:
+                root["errors"] = [
+                    {"valid": False, "keywordLocation": "", "instanceLocation": loc,
+                     "errors": es}
+                    for loc, es in by_loc.items()
+                ]
+            elif annotations:
+                root["annotations"] = annotations
+            return root
         raise ValueError(f"unknown output_format {output_format!r}")
 
     def valid_value(self, instance: Any, access_mode: Optional[str] = None) -> bool:

@@ -58,13 +58,17 @@ _NEVER_MATCHES = _NeverMatches()
 
 
 class _Result:
-    __slots__ = ("valid", "errors", "props", "items")
+    __slots__ = ("valid", "errors", "props", "items", "anns")
 
-    def __init__(self, valid: bool, errors: Optional[list], props: Optional[set], items: Optional[set]):
+    def __init__(self, valid: bool, errors: Optional[list], props: Optional[set],
+                 items: Optional[set], anns: Optional[list] = None):
         self.valid = valid
         self.errors = errors
         self.props = props
         self.items = items
+        # annotation rows (keyword, instance_pointer, schema_pointer, value);
+        # populated only under collect_annotations (2019-09 output formats)
+        self.anns = anns
 
 
 _VALID = _Result(True, None, None, None)
@@ -92,6 +96,24 @@ def _builtin_json_media(value: Any):
 # reference lib/json_schemer/content.rb:4-17
 _BUILTIN_ENCODINGS: dict[str, Callable] = {"base64": _builtin_base64}
 _BUILTIN_MEDIA_TYPES: dict[str, Callable] = {"application/json": _builtin_json_media}
+
+# keywords that are evaluated or structural — everything OUTSIDE this set is
+# an unknown keyword, collected as an annotation (core.rb:128-156)
+_NON_ANNOTATION_KEYWORDS = frozenset({
+    "type", "enum", "const", "multipleOf", "maximum", "minimum",
+    "exclusiveMaximum", "exclusiveMinimum", "maxLength", "minLength",
+    "pattern", "maxItems", "minItems", "uniqueItems", "maxContains",
+    "minContains", "maxProperties", "minProperties", "required",
+    "dependentRequired", "contains", "items", "prefixItems",
+    "additionalItems", "properties", "patternProperties",
+    "additionalProperties", "propertyNames", "dependencies",
+    "dependentSchemas", "allOf", "anyOf", "oneOf", "not", "if", "then",
+    "else", "$ref", "$dynamicRef", "$recursiveRef", "unevaluatedItems",
+    "unevaluatedProperties", "$schema", "$id", "id", "$anchor",
+    "$dynamicAnchor", "$recursiveAnchor", "$vocabulary", "$defs",
+    "definitions", "$comment", "x-error", "contentEncoding",
+    "contentMediaType", "contentSchema", "discriminator", "nullable",
+})
 
 _X_ERROR_VAR = re.compile(r"%\{(\w+)\}")
 
@@ -222,11 +244,14 @@ class Evaluator:
         self._access_mode: Optional[str] = None
         self._defaults: Optional[_DefaultsCollector] = None
         self._not_depth = 0
+        self._collect_anns = False
 
     # -- public API -------------------------------------------------------
 
-    def validate(self, instance: Any, access_mode: Optional[str] = None) -> dict[str, Any]:
-        """Full validation → {'valid': bool, 'errors': [violation rows]}.
+    def validate(self, instance: Any, access_mode: Optional[str] = None,
+                 collect_annotations: bool = False) -> dict[str, Any]:
+        """Full validation → {'valid': bool, 'errors': [violation rows]}
+        (+ 'annotations' rows when ``collect_annotations``).
 
         ``access_mode`` ('read'/'write') activates readOnly/writeOnly
         assertions (reference meta_data.rb:6-26, schema.rb:108)."""
@@ -237,14 +262,16 @@ class Evaluator:
             inserted = self._defaults.apply(resolver)
             self._defaults = None
             # reference revalidates ONCE after insertion (schema.rb:111-114)
-            return self._run(instance, access_mode)
-        return self._run(instance, access_mode)
+            return self._run(instance, access_mode, collect_annotations)
+        return self._run(instance, access_mode, collect_annotations)
 
-    def _run(self, instance: Any, access_mode: Optional[str] = None) -> dict[str, Any]:
+    def _run(self, instance: Any, access_mode: Optional[str] = None,
+             collect_annotations: bool = False) -> dict[str, Any]:
         scope = [self.root_resource]
         info = self.registry.info(self.root)
         root_spath = info.pointer if info is not None else ""
         self._access_mode = access_mode
+        self._collect_anns = collect_annotations
         try:
             r = self._eval(self.root, instance, "", root_spath, scope, self.root_resource.dialect)
         except RecursionError:
@@ -259,7 +286,15 @@ class Evaluator:
             {"keyword": k, "instance_pointer": ip, "schema_pointer": sp, "message": m}
             for (k, ip, sp, m) in (r.errors or [])
         ]
-        return {"valid": r.valid, "errors": errors}
+        out = {"valid": r.valid, "errors": errors}
+        if collect_annotations:
+            # annotations survive only from a VALID result tree — failed
+            # validation produces none (output-tests general.json)
+            out["annotations"] = [
+                {"keyword": k, "instance_pointer": ip, "schema_pointer": sp, "annotation": v}
+                for (k, ip, sp, v) in ((r.anns or []) if r.valid else [])
+            ]
+        return out
 
     def valid(self, instance: Any) -> bool:
         return self.validate(instance)["valid"]
@@ -364,6 +399,7 @@ class Evaluator:
         errors: list = []
         props: set = set()
         items: set = set()
+        anns: list = []
 
         def merge(r: _Result, assert_: bool = True) -> bool:
             """Fold a child result in; annotations only from valid children."""
@@ -373,6 +409,8 @@ class Evaluator:
                     props.update(r.props)
                 if r.items:
                     items.update(r.items)
+                if r.anns:
+                    anns.extend(r.anns)
             elif assert_:
                 if r.errors:
                     errors.extend(r.errors)
@@ -424,7 +462,7 @@ class Evaluator:
                     valid = False
             if dialect.exclusive_ref:
                 # drafts 4-7: $ref replaces all sibling keywords
-                return _Result(valid, errors or None, props or None, items or None)
+                return _Result(valid, errors or None, props or None, items or None, anns or None)
 
         dref = schema.get("$dynamicRef")
         if dialect.has_dynamic_ref and isinstance(dref, str):
@@ -869,7 +907,24 @@ class Evaluator:
                             valid = False
                         items.add(i)
 
-        return _Result(valid, errors or None, props or None, items or None)
+        # --- annotation producers (meta-data values, annotation-mode format,
+        # unknown keywords — reference meta_data.rb, format_annotation.rb,
+        # core.rb:128-156 UnknownKeyword) -----------------------------------
+        if self._collect_anns:
+            for kw in ("title", "description", "default", "deprecated",
+                       "readOnly", "writeOnly", "examples"):
+                if kw in schema:
+                    anns.append((kw, ipath, f"{spath}/{_esc(kw)}", schema[kw]))
+            if "format" in schema and not self.assert_formats:
+                anns.append(("format", ipath, f"{spath}/format", schema["format"]))
+            for kw, value in schema.items():
+                if kw not in _NON_ANNOTATION_KEYWORDS and kw not in (
+                    "title", "description", "default", "deprecated",
+                    "readOnly", "writeOnly", "examples", "format",
+                ):
+                    anns.append((kw, ipath, f"{spath}/{_esc(kw)}", value))
+
+        return _Result(valid, errors or None, props or None, items or None, anns or None)
 
     # -- dynamic / recursive refs -----------------------------------------------
 

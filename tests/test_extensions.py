@@ -78,5 +78,5 @@ def test_output_formats():
     basic = plan.validate_value(1, "basic")
     assert basic["errors"][0]["instanceLocation"] == ""
     detailed = plan.validate_value(1, "detailed")
-    assert "" in detailed["errors_by_location"]
+    assert {u["instanceLocation"] for u in detailed["errors"]} == {""}
     assert plan.validate_value(5, "classic") == []
