@@ -46,6 +46,7 @@ class CompiledSchema:
         regexp_resolver: Optional[Callable] = None,
         content_encodings: Optional[dict[str, Callable]] = None,
         content_media_types: Optional[dict[str, Callable]] = None,
+        i18n_messages: Optional[dict[str, str]] = None,
     ) -> None:
         if isinstance(schema, str):
             schema = json.loads(schema)
@@ -61,6 +62,7 @@ class CompiledSchema:
             regexp_resolver=regexp_resolver,
             content_encodings=content_encodings,
             content_media_types=content_media_types,
+            i18n_messages=i18n_messages,
         )
         self._evaluator = Evaluator(
             schema,

@@ -201,6 +201,7 @@ class Evaluator:
         regexp_resolver: Optional[Callable[[str], Any]] = None,
         content_encodings: Optional[dict[str, Callable]] = None,
         content_media_types: Optional[dict[str, Callable]] = None,
+        i18n_messages: Optional[dict[str, str]] = None,
     ) -> None:
         if not isinstance(root_schema, (dict, bool)):
             raise SchemaCompileError(f"schema must be an object or boolean, got {type(root_schema)}")
@@ -240,6 +241,10 @@ class Evaluator:
         self.regexp_resolver = regexp_resolver
         self.content_encodings = content_encodings or {}
         self.content_media_types = content_media_types or {}
+        # message-template table with the reference's i18n lookup fallback
+        # chain (result.rb:50-75): most-specific location key → keyword →
+        # catch-all. Templates use the same %{var} interpolation as x-error.
+        self.i18n_messages = i18n_messages or {}
         # per-validate state (Evaluator is used single-threaded per row)
         self._access_mode: Optional[str] = None
         self._defaults: Optional[_DefaultsCollector] = None
@@ -427,6 +432,7 @@ class Evaluator:
             nonlocal valid
             valid = False
             at_path = at if at is not None else ipath
+            template = None
             if x_error is not None:
                 # custom message templates with %{var} interpolation
                 # (core.rb:122-126 XError; result.rb:28-35,243-257)
@@ -434,11 +440,19 @@ class Evaluator:
                     x_error.get(keyword, x_error.get("*"))
                     if isinstance(x_error, dict) else x_error
                 )
-                if isinstance(template, str):
-                    message = _interpolate_x_error(
-                        template, instance, at_path, keyword,
-                        schema.get(keyword), spath,
-                    )
+            elif self.i18n_messages:
+                # i18n fallback chain (result.rb:50-75): location key first,
+                # then keyword, then catch-all
+                for key in (f"{base_uri}#{spath}/{keyword}",
+                            f"#{spath}/{keyword}", keyword, "*"):
+                    if key in self.i18n_messages:
+                        template = self.i18n_messages[key]
+                        break
+            if isinstance(template, str):
+                message = _interpolate_x_error(
+                    template, instance, at_path, keyword,
+                    schema.get(keyword), spath,
+                )
             errors.append((keyword, at_path, spath, message))
 
         # --- referencing -------------------------------------------------

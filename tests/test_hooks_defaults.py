@@ -287,3 +287,26 @@ def test_x_error_nested_property():
         "properties": {"a": {"type": "integer", "x-error": "a at %{instanceLocation} must be int"}},
     })
     assert [e["message"] for e in s.validate_value({"a": "x"})] == ["a at /a must be int"]
+
+
+# --- i18n-style message tables (result.rb:50-75) -----------------------------
+
+def test_i18n_message_fallback_chain():
+    s = compile_schema(
+        {"type": "integer", "minimum": 3},
+        i18n_messages={
+            "#/minimum": "trop petit: %{instance}",
+            "integer": "doit être un entier",
+            "*": "invalide",
+        },
+    )
+    assert [e["message"] for e in s.validate_value(1)] == ["trop petit: 1"]
+    assert [e["message"] for e in s.validate_value("x")] == ["doit être un entier"]
+
+
+def test_x_error_wins_over_i18n():
+    s = compile_schema(
+        {"type": "integer", "x-error": "custom"},
+        i18n_messages={"*": "i18n"},
+    )
+    assert [e["message"] for e in s.validate_value("x")] == ["custom"]
