@@ -315,11 +315,16 @@ def q22_corpus_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q23_corpus_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule repo→commit existence anti-join on the synthetic corpus."""
+    import os
+
     from json_schemer_spark.operators.referential import dangling_references
     from json_schemer_spark.sources.corpus import generate_commits_dim
 
     corpus = _corpus_cached(spark, 50_000)
-    dim = generate_commits_dim(spark)
+    dim_path = "/tmp/jss_commits_dim_cache"
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        generate_commits_dim(spark).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
     bad = dangling_references(corpus, dim, ["repo", "commit"])
     return bad.groupBy("repo").agg(F.count(F.lit(1)).alias("n_dangling"))
 
@@ -552,5 +557,144 @@ def oracle_sql() -> dict[str, str]:
         "q16_exact_dup_groups": """
             SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
             FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "q21_ks_drift": """
+            WITH x AS (
+                SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+                FROM lineitem WHERE l_quantity IS NOT NULL
+            ),
+            r AS (
+                SELECT g, v,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+                       COUNT(*) OVER (PARTITION BY g) AS n
+                FROM x
+            ),
+            c AS (
+                SELECT g, rn, n,
+                       CASE WHEN v <= 1.0 THEN 0.0
+                            WHEN v >= 50.0 THEN 1.0
+                            WHEN v <= 13.0 THEN (v - 1.0) / 12.0 * 0.25
+                            WHEN v <= 26.0 THEN 0.25 + (v - 13.0) / 13.0 * 0.25
+                            WHEN v <= 38.0 THEN 0.50 + (v - 26.0) / 12.0 * 0.25
+                            ELSE 0.75 + (v - 38.0) / 12.0 * 0.25 END AS cdf
+                FROM r
+            )
+            SELECT g AS l_returnflag,
+                   ROUND(MAX(GREATEST(ABS(rn * 1.0 / n - cdf),
+                                      ABS(cdf - (rn - 1.0) / n))), 6) AS ks,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM c GROUP BY g
+        """,
+        "q22_corpus_validate": """
+            WITH c AS (
+                -- malformed rows must become NULL before any json_type call:
+                -- DuckDB's vectorized evaluation is not lazy across AND
+                SELECT repo,
+                       CASE WHEN json_valid(content) THEN content END AS content
+                FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet')
+            ),
+            v AS (
+                SELECT repo,
+                    CASE WHEN content IS NOT NULL
+                          AND json_type(content) = 'OBJECT'
+                          AND json_type(content, '$.name') = 'VARCHAR'
+                          AND LENGTH(json_extract_string(content, '$.name')) BETWEEN 3 AND 64
+                          AND regexp_matches(json_extract_string(content, '$.name'),
+                                             '^[a-z][a-z0-9_]*$')
+                          AND json_type(content, '$.size') IN ('BIGINT', 'UBIGINT')
+                          AND CAST(json_extract(content, '$.size') AS BIGINT) BETWEEN 0 AND 1000000
+                          AND json_extract_string(content, '$.lang') IN
+                              ('json','yaml','py','rb','js','go','md')
+                          AND (json_type(content, '$.stars') IS NULL OR (
+                               json_type(content, '$.stars') IN ('BIGINT','UBIGINT','DOUBLE')
+                               AND CAST(json_extract(content, '$.stars') AS DOUBLE) >= 0))
+                          AND (json_type(content, '$.tags') IS NULL OR (
+                               json_type(content, '$.tags') = 'ARRAY'
+                               AND json_array_length(content, '$.tags') <= 8))
+                          AND (json_type(content, '$.meta') IS NULL OR (
+                               json_type(content, '$.meta') = 'OBJECT'
+                               AND (json_type(content, '$.meta.license') IS NULL OR (
+                                    json_type(content, '$.meta.license') = 'VARCHAR'
+                                    AND LENGTH(json_extract_string(content, '$.meta.license')) >= 2))
+                               AND (json_type(content, '$.meta.forks') IS NULL OR (
+                                    json_type(content, '$.meta.forks') IN ('BIGINT','UBIGINT')
+                                    AND CAST(json_extract(content, '$.meta.forks') AS BIGINT) >= 0))))
+                         THEN 1 ELSE 0 END AS ok
+                FROM c
+            )
+            SELECT repo, COUNT(*) AS files,
+                   CAST(SUM(1 - ok) AS BIGINT) AS failed
+            FROM v GROUP BY repo
+        """,
+        "q23_corpus_referential": """
+            SELECT f.repo, COUNT(*) AS n_dangling
+            FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet') f
+            WHERE NOT EXISTS (
+                SELECT 1 FROM read_parquet('/tmp/jss_commits_dim_cache/*.parquet') d
+                WHERE d.repo = f.repo AND d.commit = f.commit
+            )
+            GROUP BY f.repo
+        """,
+        "q24_quality_scores": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       LIST_FILTER(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                       CAST(LEN(toks) AS INT) AS n_tokens,
+                       LENGTH(text) AS n_chars,
+                       LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                           ['the','and','of','to','in','is','that','it','for','with',
+                            'a','an','as','at','be','by','on','or','was'], x))) AS n_stop,
+                       LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   ROUND(
+                       LEAST(n_tokens / 100.0, 1.0) * 0.4
+                       + CASE WHEN n_tokens > 0
+                              AND ((n_chars - (n_tokens - 1)) * 1.0 / n_tokens)
+                                  BETWEEN 3.0 AND 10.0
+                              THEN 0.3 ELSE 0.0 END
+                       + CASE WHEN (CASE WHEN n_chars > 0
+                                         THEN n_punct * 1.0 / n_chars ELSE 0.0 END) < 0.1
+                              THEN 0.15 ELSE 0.0 END
+                       + CASE WHEN n_tokens > 0
+                              AND (n_stop * 1.0 / n_tokens) BETWEEN 0.1 AND 0.7
+                              THEN 0.15 ELSE 0.0 END,
+                   6) AS quality_score
+            FROM f
+        """,
+        "q25_lang_id": """
+            WITH t AS (
+                SELECT LIST_FILTER(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT
+                    LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                        ['the','and','of','to','in','is','that','it','for','with'], x))) AS en,
+                    LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                        ['der','die','und','das','ist','nicht','mit','ein','zu','den'], x))) AS de,
+                    LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                        ['le','la','et','les','des','est','pas','que','une','pour'], x))) AS fr,
+                    LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                        ['el','la','de','que','los','es','una','por','con','para'], x))) AS es
+                FROM t
+            ),
+            b AS (
+                SELECT LIST_REVERSE(LIST_SORT([
+                    {'score': en, 'lang': 'en'}, {'score': de, 'lang': 'de'},
+                    {'score': fr, 'lang': 'fr'}, {'score': es, 'lang': 'es'}
+                ]))[1] AS best
+                FROM s
+            )
+            SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'unknown' END AS detected_lang,
+                   COUNT(*) AS n
+            FROM b GROUP BY 1
         """,
     }

@@ -1,0 +1,59 @@
+"""Physical-plan assertions — the plan is part of the contract at 100 TB
+(SURVEY.md §4): broadcast anti-joins for referential checks, partial+final
+hash aggregation, pure-JVM validation plans, scan-level column pruning."""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_referential_anti_join_broadcasts_small_dim(spark):
+    from json_schemer_spark.operators.referential import dangling_references
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    bad = dangling_references(orders, customer, {"o_custkey": "c_custkey"})
+    p = _plan(bad)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p[:800]
+
+
+def test_aggregation_is_partial_final(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p = _plan(agg)
+    # map-side combine: two HashAggregate operators around the exchange
+    assert p.count("HashAggregate") >= 2, p[:800]
+
+
+def test_validation_plan_is_pure_jvm_and_prunes_columns(spark):
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA
+
+    corpus = spark.read.parquet("/tmp/jss_corpus") if __import__("os").path.exists(
+        "/tmp/jss_corpus/_SUCCESS") else None
+    if corpus is None:
+        from json_schemer_spark.sources.corpus import generate_corpus
+
+        generate_corpus(spark, 1000).write.mode("overwrite").parquet("/tmp/jss_plan_corpus")
+        corpus = spark.read.parquet("/tmp/jss_plan_corpus")
+    plan = compile_schema(FLAGSHIP_SCHEMA)
+    out = plan.validate_json_column(corpus, "content")
+    # verdict-only consumption must not ship Python workers
+    p = _plan(out.select("repo", "valid"))
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # column pruning reaches the scan: only repo+content read
+    scan_line = next(line for line in p.splitlines() if "FileScan" in line)
+    assert "content" in scan_line
+    assert "l_quantity" not in scan_line
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from json_schemer_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(exact_duplicates(docs, "text", "doc_id"))
+    assert p.count("Exchange") == 1, p[:800]
