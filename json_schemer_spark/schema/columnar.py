@@ -85,6 +85,12 @@ _VIOL_DDL = (
     "schema_pointer:string,message:string>"
 )
 
+# asserted formats whose interpreter checker compiles the IDENTICAL regex
+# that rlike runs (formats.py `_rx`) — safe to lower without tier divergence
+_RLIKE_EXACT_FORMATS = frozenset(
+    {"uuid", "duration", "uri-template", "json-pointer", "relative-json-pointer"}
+)
+
 
 class Unsupported(Exception):
     """Schema outside the columnar subset → interpreter tier."""
@@ -233,12 +239,29 @@ def _check(schema: Any, dialect: Dialect) -> None:
         raise Unsupported("non-dict schema")
     if not dialect.vocab_enabled("validation") or not dialect.vocab_enabled("applicator"):
         raise Unsupported("custom vocabulary gating")
-    if dialect.enabled_vocabs is not None and "format-assertion" in dialect.enabled_vocabs:
-        raise Unsupported("format-assertion vocabulary")
     if dialect.openapi and isinstance(schema.get("discriminator"), dict):
         raise Unsupported("OpenAPI discriminator")
+    fmt_assert = (
+        dialect.enabled_vocabs is not None
+        and "format-assertion" in dialect.enabled_vocabs
+    )
 
     for kw, val in schema.items():
+        if kw == "format" and fmt_assert and isinstance(val, str):
+            # assertion mode: only formats whose Python checker IS the same
+            # regex as the Java rlike pattern lower (tier-identical verdicts);
+            # other known formats fall back; unknown formats pass vacuously
+            if val in _RLIKE_EXACT_FORMATS:
+                pass
+            else:
+                from json_schemer_spark.schema.formats import (
+                    FORMAT_CHECKS,
+                    OPENAPI_FORMATS,
+                )
+
+                if val in FORMAT_CHECKS or (dialect.openapi and val in OPENAPI_FORMATS):
+                    raise Unsupported(f"asserted format {val!r} not rlike-lowerable")
+            continue
         if kw in _ANNOTATIONS:
             # draft7 asserts content keywords (draft7/vocab/validation.rb:38-65)
             if dialect.content_assertion and kw in ("contentEncoding", "contentMediaType"):
@@ -1051,12 +1074,31 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
         checks.append(multiple_check)
 
     # --- strings ----------------------------------------------------------------
-    if any(k in schema for k in ("maxLength", "minLength", "pattern")):
+    fmt_assert_kw = None
+    if (
+        dialect.enabled_vocabs is not None
+        and "format-assertion" in dialect.enabled_vocabs
+        and isinstance(schema.get("format"), str)
+        and schema["format"] in _RLIKE_EXACT_FORMATS
+    ):
+        fmt_assert_kw = schema["format"]
+
+    if fmt_assert_kw is not None or any(
+        k in schema for k in ("maxLength", "minLength", "pattern")
+    ):
         tsks = ctx.ts(vkey)
         strkey = ctx.str_(vkey)
 
         def gated_str(get):
             return F.when(get(tsks) == "STRING", get(strkey))
+
+        if fmt_assert_kw is not None:
+            from json_schemer_spark.schema.formats import FORMAT_RLIKE
+
+            frx = FORMAT_RLIKE[fmt_assert_kw]
+            checks.append(lambda get, ipath, fmt=fmt_assert_kw, frx=frx: (
+                F.coalesce(~gated_str(get).rlike(frx), F.lit(False)),
+                "format", f"not a valid {fmt}"))
 
         if "maxLength" in schema:
             k = schema["maxLength"]

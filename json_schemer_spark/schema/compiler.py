@@ -169,16 +169,35 @@ class CompiledSchema:
     def is_lowerable(self) -> bool:
         """True when the whole plan lowers to pure Column expressions.
 
-        Format assertion, custom keywords, hooks, defaults insertion and
-        pluggable resolvers force the interpreter tier — the lowering treats
-        ``format`` as an annotation and knows nothing about user callables."""
-        if self.assert_formats or self.keywords:
+        Custom keywords/formats, hooks, defaults insertion and pluggable
+        resolvers force the interpreter tier — the lowering knows nothing
+        about user callables. Format ASSERTION lowers when every asserted
+        format is regex-exact in both tiers (uuid/duration/uri-template/
+        json-pointer/relative-json-pointer); otherwise interpreter."""
+        if self.keywords or self.formats:
             return False
         if any(v for v in self._ext_opts.values()):
             return False
         from json_schemer_spark.schema.columnar import lowerable
 
-        return lowerable(self.schema, self.dialect)
+        return lowerable(self.schema, self._lowering_dialect())
+
+    _STD_VOCABS = frozenset({
+        "core", "applicator", "unevaluated", "validation",
+        "meta-data", "format-annotation", "content",
+    })
+
+    def _lowering_dialect(self) -> Dialect:
+        """The dialect the columnar tier lowers under — format assertion is
+        communicated via the format-assertion vocabulary flag."""
+        if not self.assert_formats:
+            return self.dialect
+        import dataclasses
+
+        vocabs = self.dialect.enabled_vocabs or self._STD_VOCABS
+        return dataclasses.replace(
+            self.dialect, enabled_vocabs=frozenset(vocabs) | {"format-assertion"}
+        )
 
     def validate_json_column(self, df, content_col: str, *, force_interpreter: bool = False):
         """Validate a JSON-string column → df + ``valid`` + ``violations``.
@@ -190,7 +209,9 @@ class CompiledSchema:
         if not force_interpreter and self.is_lowerable():
             from json_schemer_spark.schema.columnar import validate_json_column_lowered
 
-            return validate_json_column_lowered(df, content_col, self.schema, self.dialect)
+            return validate_json_column_lowered(
+                df, content_col, self.schema, self._lowering_dialect()
+            )
         return self._validate_with_interpreter(df, content_col)
 
     def _evaluator_factory(self) -> Callable[[], Evaluator]:

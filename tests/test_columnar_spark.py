@@ -189,3 +189,26 @@ def test_interpreter_never_matching_pattern():
     assert not ev.valid("anything")
     ev2 = Evaluator({"patternProperties": {"x[]y": {"type": "integer"}}}, dialect=DRAFT202012)
     assert ev2.valid({"k": "v"})
+
+
+def test_format_assertion_lowering(spark):
+    """Regex-exact formats (uuid/duration/json-pointer/...) lower under
+    assertion; checker-backed formats (date-time) fall back."""
+    from json_schemer_spark import compile_schema
+
+    s = compile_schema(
+        {"properties": {"id": {"format": "uuid"}, "ttl": {"format": "duration"}}},
+        assert_formats=True,
+    )
+    assert s.is_lowerable()
+    assert not compile_schema(
+        {"properties": {"t": {"format": "date-time"}}}, assert_formats=True
+    ).is_lowerable()
+    rows = ['{"id": "123e4567-e89b-12d3-a456-426614174000", "ttl": "P1DT2H"}',
+            '{"id": "nope", "ttl": "P1DT2H"}',
+            '{"id": "123e4567-e89b-12d3-a456-426614174000", "ttl": "bogus"}',
+            '{"id": 5}']
+    df = spark.createDataFrame([(r,) for r in rows], "content string")
+    out = s.validate_json_column(df, "content")
+    assert [r.valid for r in out.select("valid").collect()] == [True, False, False, True]
+    assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()

@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     ap.add_argument("--ledger", default=None, help="checkpoint ledger path (enables resume)")
     ap.add_argument("--units", type=int, default=16, help="checkpoint work units")
     ap.add_argument("--flag-only", action="store_true", help="verdicts only (skip violation assembly)")
+    ap.add_argument("--assert-formats", action="store_true",
+                    help="assert the `format` keyword (reference `format` option)")
+    ap.add_argument("--dialect", default=None,
+                    help="force a dialect: draft4|draft6|draft7|draft2019-09|"
+                         "draft2020-12|openapi30|openapi31 (default: $schema dispatch)")
     args = ap.parse_args(argv)
 
     from json_schemer_spark import compile_schema
@@ -37,7 +42,12 @@ def main(argv=None) -> int:
     spark = build_session("json-schemer-validate")
     with open(args.schema) as f:
         schema = json.load(f)
-    plan = compile_schema(schema)
+    dialect = None
+    if args.dialect:
+        from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
+
+        dialect = DIALECTS_BY_NAME[args.dialect]
+    plan = compile_schema(schema, dialect=dialect, assert_formats=args.assert_formats)
     df = spark.read.parquet(args.table)
 
     if args.ledger:
