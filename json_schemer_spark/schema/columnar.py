@@ -125,20 +125,25 @@ def _resolve_pointer(doc: Any, pointer: str) -> Any:
     return node
 
 
-def inline_refs(schema: Any, dialect: Dialect) -> Any:
-    """Inline same-document, acyclic ``$ref`` JSON-pointer targets.
+def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
+    """Inline acyclic ``$ref`` targets at compile time.
 
-    The general resolver (registry.py) handles base-URI rebinding, anchors,
-    remote and cyclic refs — all of those raise :class:`Unsupported` here and
-    fall back to the interpreter tier. Drafts ≤7 replace siblings
-    (schema.rb:384-395); modern drafts conjoin via allOf.
+    With a :class:`Registry` (the production path through CompiledSchema),
+    resolution handles base-URI rebinding, ``$id``/``$anchor`` and remote
+    refs — anything the general resolver can resolve STATICALLY inlines.
+    Without one, only same-document JSON-pointer refs resolve. Cyclic and
+    dynamic refs raise :class:`Unsupported` and fall back to the
+    interpreter tier. Drafts ≤7 replace siblings (schema.rb:384-395);
+    modern drafts keep siblings adjacent and hoist the target into allOf.
     """
     if not isinstance(schema, (dict, bool)):
         raise Unsupported("non-dict schema")
 
-    rebinding = {dialect.id_keyword}
-    if dialect.has_dollar_anchor:
-        rebinding.add("$anchor")
+    rebinding = set()
+    if registry is None:
+        rebinding.add(dialect.id_keyword)
+        if dialect.has_dollar_anchor:
+            rebinding.add("$anchor")
     if dialect.has_dynamic_ref:
         rebinding.add("$dynamicAnchor")
     if dialect.has_recursive_ref:
@@ -153,6 +158,21 @@ def inline_refs(schema: Any, dialect: Dialect) -> Any:
         SCHEMA_VALUE,
     )
 
+    def resolve(node: dict, ref: str):
+        if registry is not None:
+            from json_schemer_spark.schema.registry import DEFAULT_BASE_URI
+
+            info = registry.info(node)
+            base_uri = info.base_uri if info is not None else DEFAULT_BASE_URI
+            try:
+                target, _res, _ptr = registry.resolve_ref_with_pointer(ref, base_uri)
+            except (KeyError, IndexError, TypeError) as exc:
+                raise Unsupported(f"unresolvable $ref {ref!r}: {exc}") from exc
+            return target
+        if not ref.startswith("#"):
+            raise Unsupported(f"non-local $ref {ref!r}")
+        return _resolve_pointer(schema, ref[1:])
+
     def walk(node: Any, stack: tuple) -> Any:
         """Walk SCHEMA positions only — enum/const/default members and
         unknown-keyword values are data, never rewritten (a `$ref` key
@@ -160,18 +180,24 @@ def inline_refs(schema: Any, dialect: Dialect) -> Any:
         if not isinstance(node, dict):
             return node
         if node is not schema and any(k in node for k in rebinding):
-            # nested $id/$anchor rebinds the base URI — general resolver only
+            # base-URI rebinding without a registry → general resolver only
             raise Unsupported("nested $id/$anchor rebinding")
+        if registry is not None and isinstance(node.get("$schema"), str):
+            info = registry.info(node)
+            if info is not None and info.dialect is not dialect:
+                # a nested resource under a DIFFERENT draft cannot inline —
+                # the lowering runs under one dialect
+                raise Unsupported("cross-dialect $schema in inlined resource")
         ref = node.get("$ref")
         target = None
         if isinstance(ref, str):
-            if not ref.startswith("#"):
-                raise Unsupported(f"non-local $ref {ref!r}")
-            if ref in stack:
-                raise Unsupported(f"cyclic $ref {ref!r}")
             if len(stack) > 32:
                 raise Unsupported("$ref nesting too deep")
-            target = walk(_resolve_pointer(schema, ref[1:]), stack + (ref,))
+            raw_target = resolve(node, ref)
+            tkey = id(raw_target)
+            if tkey in stack:
+                raise Unsupported(f"cyclic $ref {ref!r}")
+            target = walk(raw_target, stack + (tkey,))
             siblings = {k: v for k, v in node.items() if k != "$ref"}
             if dialect.exclusive_ref or not any(
                 k for k in siblings if k not in ("$defs", "definitions")
@@ -217,16 +243,16 @@ def inline_refs(schema: Any, dialect: Dialect) -> Any:
 # driver-side subset check (cheap, no Spark imports)
 # ---------------------------------------------------------------------------
 
-def prepare(schema: Any, dialect: Dialect) -> Any:
+def prepare(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
     """Inline refs + verify lowerable; returns the inlined schema."""
-    inlined = inline_refs(schema, dialect)
+    inlined = inline_refs(schema, dialect, registry=registry)
     _check(inlined, dialect)
     return inlined
 
 
-def lowerable(schema: Any, dialect: Dialect) -> bool:
+def lowerable(schema: Any, dialect: Dialect, registry: Any = None) -> bool:
     try:
-        prepare(schema, dialect)
+        prepare(schema, dialect, registry=registry)
         return True
     except Unsupported:
         return False
@@ -1581,7 +1607,8 @@ def _type_pred(get, ts, t: str, dialect: Dialect, numkey, deckey, is_numeric):
 # entry point
 # ---------------------------------------------------------------------------
 
-def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dialect):
+def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dialect,
+                                 registry: Any = None):
     """Pure-Column validation: df + ``valid`` + ``violations`` columns.
 
     Chained projections over one scan (parse → typed views by dependency
@@ -1596,7 +1623,7 @@ def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dia
     """
     import pyspark.sql.functions as F
 
-    schema = prepare(schema, dialect)
+    schema = prepare(schema, dialect, registry=registry)
 
     content = F.col(content_col)
     # NULL content is JSON null (parity with the interpreter tier);

@@ -180,7 +180,8 @@ class CompiledSchema:
             return False
         from json_schemer_spark.schema.columnar import lowerable
 
-        return lowerable(self.schema, self._lowering_dialect())
+        return lowerable(self.schema, self._lowering_dialect(),
+                         registry=self._evaluator.registry)
 
     _STD_VOCABS = frozenset({
         "core", "applicator", "unevaluated", "validation",
@@ -210,7 +211,8 @@ class CompiledSchema:
             from json_schemer_spark.schema.columnar import validate_json_column_lowered
 
             return validate_json_column_lowered(
-                df, content_col, self.schema, self._lowering_dialect()
+                df, content_col, self.schema, self._lowering_dialect(),
+                registry=self._evaluator.registry,
             )
         return self._validate_with_interpreter(df, content_col)
 

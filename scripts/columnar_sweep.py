@@ -39,23 +39,27 @@ def main():
         lowered, total = [], 0
         for _, (schema, cases) in by_schema.items():
             total += 1
-            dialect = make_evaluator(schema, draft).root_resource.dialect
-            if lowerable(schema, dialect):
-                lowered.append((schema, dialect, cases))
+            ev = make_evaluator(schema, draft)
+            dialect = ev.root_resource.dialect
+            # registry-based inlining: the production path through
+            # CompiledSchema — anchors, $id rebinding and (suite-remote)
+            # refs all resolve statically
+            if lowerable(schema, dialect, registry=ev.registry):
+                lowered.append((schema, dialect, ev.registry, cases))
 
         mism = []
         for start in range(0, len(lowered), BATCH):
             outs = []
-            for idx, (schema, dialect, cases) in enumerate(lowered[start : start + BATCH]):
+            for idx, (schema, dialect, reg, cases) in enumerate(lowered[start : start + BATCH]):
                 df = spark.createDataFrame(
                     [(start + idx, i, c.valid, json.dumps(c.data)) for i, c in enumerate(cases)],
                     "sidx int, cidx int, expected boolean, content string",
                 )
-                out = validate_json_column_lowered(df, "content", schema, dialect)
+                out = validate_json_column_lowered(df, "content", schema, dialect, registry=reg)
                 outs.append(out.select("sidx", "cidx", "expected", "valid"))
             allout = reduce(lambda a, b: a.unionByName(b), outs)
             for r in allout.filter(F.col("valid") != F.col("expected")).collect():
-                schema, _, cases = lowered[r.sidx]
+                schema, _, _, cases = lowered[r.sidx]
                 mism.append((r.sidx, r.cidx, json.dumps(schema)[:100],
                              json.dumps(cases[r.cidx].data)[:60], r.expected, r.valid))
 

@@ -261,3 +261,28 @@ def test_discriminator_spark_end_to_end(spark):
     df = spark.createDataFrame([(json.dumps(r),) for r in rows], "content string")
     out = s.validate_json_column(df, "content")
     assert [r.valid for r in out.select("valid").collect()] == [True, True, False, False]
+
+
+def test_openapi_components_schema_lowers_without_discriminator(spark):
+    """#/components refs inline through the document registry — plain OAS
+    schemas run on the pure-Column tier."""
+    doc = {
+        "openapi": "3.1.0",
+        "components": {"schemas": {
+            "Address": {"type": "object", "required": ["city"],
+                        "properties": {"city": {"type": "string", "minLength": 2}}},
+            "User": {"type": "object",
+                     "properties": {"name": {"type": "string"},
+                                    "address": {"$ref": "#/components/schemas/Address"}}},
+        }},
+    }
+    s = openapi(doc, assert_formats=False).schema("User")
+    assert s.is_lowerable()
+    df = spark.createDataFrame(
+        [('{"name":"a","address":{"city":"Roma"}}',),
+         ('{"name":"a","address":{"city":"R"}}',),
+         ('{"name":"a","address":{}}',),
+         ('{"name":"a"}',)], "content string")
+    out = s.validate_json_column(df, "content")
+    assert [r.valid for r in out.select("valid").collect()] == [True, False, False, True]
+    assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
