@@ -17,7 +17,12 @@ Reference semantics: /root/reference (davishmcclurg/json_schemer). This is
 NOT a port — see SURVEY.md for the mapping.
 """
 
-from json_schemer_spark.schema.compiler import CompiledSchema, compile_schema
+from json_schemer_spark.schema.compiler import (
+    CompiledSchema,
+    compile_schema,
+    valid_schema,
+    validate_schema,
+)
 from json_schemer_spark.schema.dialects import (
     DRAFT4,
     DRAFT6,
@@ -31,6 +36,8 @@ from json_schemer_spark.schema.openapi import OpenAPIDocument, openapi
 
 __all__ = [
     "compile_schema",
+    "valid_schema",
+    "validate_schema",
     "CompiledSchema",
     "openapi",
     "OpenAPIDocument",

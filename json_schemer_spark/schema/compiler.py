@@ -164,6 +164,16 @@ class CompiledSchema:
     def valid_value(self, instance: Any, access_mode: Optional[str] = None) -> bool:
         return self._evaluator.validate(instance, access_mode=access_mode)["valid"]
 
+    # -- meta-schema self-validation (reference json_schemer.rb:125-133,
+    #    schema.rb:120-126: the engine validates its own schema document
+    #    with the same engine — SURVEY.md §1.2) ------------------------------
+
+    def valid_schema(self) -> bool:
+        return meta_schemer(self.dialect).valid_value(self.schema)
+
+    def validate_schema(self) -> list:
+        return meta_schemer(self.dialect).validate_value(self.schema)
+
     # -- Spark API ------------------------------------------------------------
 
     def is_lowerable(self) -> bool:
@@ -301,6 +311,44 @@ def _append_fields(schema):
             StructField("violations", ArrayType(violation_struct)),
         ]
     )
+
+
+_META_PLANS: dict[str, "CompiledSchema"] = {}
+
+
+def meta_schemer(dialect: Dialect) -> "CompiledSchema":
+    """Memoized validator FOR schema documents of ``dialect`` (built from
+    the embedded official meta-schemas — metaschemas.py; OpenAPI dialects
+    validate against their base draft)."""
+    got = _META_PLANS.get(dialect.name)
+    if got is None:
+        from json_schemer_spark.schema.dialects import DRAFT4, DRAFT202012
+        from json_schemer_spark.schema.metaschemas import METASCHEMAS
+
+        base = dialect
+        if dialect.openapi == 31:
+            base = DRAFT202012
+        elif dialect.openapi == 30:
+            base = DRAFT4
+        meta = METASCHEMAS.get(base.uri) or METASCHEMAS.get(base.uri.rstrip("#"))
+        got = CompiledSchema(
+            meta,
+            dialect=base,
+            base_uri=base.uri.rstrip("#"),
+            ref_resolver=lambda uri: METASCHEMAS.get(uri) or METASCHEMAS.get(uri.rstrip("#")),
+        )
+        _META_PLANS[dialect.name] = got
+    return got
+
+
+def valid_schema(schema: Any, **options) -> bool:
+    """Is ``schema`` itself a valid schema document? (JSONSchemer.valid_schema?)"""
+    return compile_schema(schema, **options).valid_schema()
+
+
+def validate_schema(schema: Any, **options) -> list:
+    """Classic errors of ``schema`` against its meta-schema."""
+    return compile_schema(schema, **options).validate_schema()
 
 
 def compile_schema(schema: Any, **options) -> CompiledSchema:

