@@ -357,6 +357,14 @@ def q26_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "feat_dim", "decode_ok")
 
 
+def q28_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counting (LLM token-budget accounting)."""
+    from json_schemer_spark.operators.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
 def q27_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded ANN scale path (round-1 review): multi-table SRP-LSH top-k,
     recall measured against the brute-force exact top-k. The synthetic
@@ -405,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_lang_id": q25_lang_id,
         "q26_media_features": q26_media_features,
         "q27_ann_lsh_recall": q27_ann_lsh_recall,
+        "q28_bpe_token_stats": q28_bpe_token_stats,
     }
 
 
@@ -625,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, COUNT(*) AS files,
                    CAST(SUM(1 - ok) AS BIGINT) AS failed
             FROM v GROUP BY repo
+        """,
+        "q28_bpe_token_stats": """
+            SELECT doc_id,
+                   CAST(LEN(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                   )) AS INT) AS n_bpe_tokens
+            FROM documents
         """,
         "q23_corpus_referential": """
             SELECT f.repo, COUNT(*) AS n_dangling

@@ -28,6 +28,21 @@ def token_count(text):
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer alternation, restricted to RE2-safe constructs
+# (no lookahead — the DuckDB oracle runs the IDENTICAL pattern): common
+# English contractions, letter runs, digit runs, punctuation runs,
+# whitespace runs. Each match ≈ one BPE pre-token.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text):
+    """BPE-ish pre-token count (pure Column; regexp_extract_all JVM-side).
+
+    The whitespace-token count (``token_count``) underestimates LLM token
+    budgets; this tracks a GPT-2-style pre-tokenization ~1:1."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Adds n_chars_measured, n_tokens, avg_token_len, punct_ratio,
     stopword_ratio, upper_ratio — the classic cheap quality signals."""
