@@ -243,10 +243,51 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
 # driver-side subset check (cheap, no Spark imports)
 # ---------------------------------------------------------------------------
 
+# complexity budget: element-context subschemas (items/contains/
+# patternProperties/additionalProperties values) inline their whole
+# expression tree per use, so deeply STACKED combinators multiply — a
+# pathological-but-lowerable schema can otherwise blow the driver's stack
+# during Catalyst tree transforms (found by scripts/differential_fuzz.py)
+_COST_LIMIT = 4000
+
+
+def _cost(schema: Any, dialect: Dialect, elem_weight: int = 1) -> int:
+    if not isinstance(schema, dict):
+        return 1
+    total = (1 + len(schema)) * elem_weight
+    from json_schemer_spark.schema.dialects import (
+        KEYWORD_SHAPES,
+        SCHEMA_LIST,
+        SCHEMA_MAP,
+        SCHEMA_OR_LIST,
+        SCHEMA_VALUE,
+    )
+
+    elem_kw = {"items", "contains", "additionalItems", "additionalProperties",
+               "patternProperties", "unevaluatedItems", "unevaluatedProperties"}
+    for kw, val in schema.items():
+        shape = KEYWORD_SHAPES.get(kw)
+        if shape is None:
+            continue
+        w = elem_weight * (3 if kw in elem_kw else 1)
+        if shape == SCHEMA_VALUE:
+            total += _cost(val, dialect, w)
+        elif shape in (SCHEMA_LIST, SCHEMA_OR_LIST) and isinstance(val, list):
+            total += sum(_cost(s, dialect, w) for s in val)
+        elif shape == SCHEMA_OR_LIST:
+            total += _cost(val, dialect, w)
+        elif shape == SCHEMA_MAP and isinstance(val, dict) and kw not in ("$defs", "definitions"):
+            total += sum(_cost(s, dialect, w) for s in val.values())
+        if total > _COST_LIMIT:
+            raise Unsupported(f"plan too complex (> {_COST_LIMIT} expression units)")
+    return total
+
+
 def prepare(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
     """Inline refs + verify lowerable; returns the inlined schema."""
     inlined = inline_refs(schema, dialect, registry=registry)
     _check(inlined, dialect)
+    _cost(inlined, dialect)
     return inlined
 
 
@@ -647,6 +688,10 @@ class _Ctx:
         got = self._memo.get(mk)
         if got is not None:
             return got
+        if self._n > 2000:
+            # backstop behind the _cost budget: never build plans whose
+            # extraction stage alone would dwarf the optimizer
+            raise Unsupported("too many extraction slots")
         key = f"t{self._n}"
         self._n += 1
         self.exprs[key] = builder(self.ref(vkey))
@@ -1088,13 +1133,52 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
         deckey3, numkey3 = ctx.dec(vkey), ctx.num(vkey)
         dstr = _dec_repr(div)
 
-        def multiple_check(get, ipath, div=div, dstr=dstr):
+        # values outside decimal(38,12) (|x| ≥ 1e26) still need the
+        # reference's DECIMAL-STRING semantics (BigDecimal(x.to_s) % m,
+        # validation.rb:85-93): fmod on doubles is exact binary arithmetic
+        # and gives a DIFFERENT answer (fmod(1e300, 3) == 0 but
+        # 10^300 mod 3 == 1 — found by scripts/differential_fuzz.py).
+        # Such values print as 'D.DDDE±K', so x = D̂·10^(K-f) with D̂ the
+        # ≤17 mantissa digits (fits a long): x/m integral ⟺
+        # (D̂ mod M)·(10^(K-f+s) mod M) ≡ 0 (mod M) for m = M·10^(-s).
+        from decimal import Decimal as _Dec
+
+        _dm = _Dec(str(div)).normalize()
+        _sign, _digits, _exp = _dm.as_tuple()
+        _M = int("".join(map(str, _digits)))
+        _s_m = -_exp
+        if _exp > 0:
+            _M *= 10 ** _exp
+            _s_m = 0
+        _use_strmath = _M <= 3_000_000_000  # products must fit a long
+        _pow10_mod = [pow(10, i, _M) % _M for i in range(400)] if _use_strmath else None
+
+        def multiple_check(get, ipath, div=div, dstr=dstr,
+                           M=_M, s_m=_s_m, use_strmath=_use_strmath,
+                           pow10_mod=_pow10_mod):
             num_guard = _is_num(get, tskm)
             dec = F.when(num_guard, get(deckey3))
             dbl = F.when(num_guard, get(numkey3))
+            if use_strmath:
+                s = dbl.cast("string")
+                ip_ = F.regexp_extract(s, r"^-?(\d+)\.(\d+)E([+-]?\d+)$", 1)
+                fp_ = F.regexp_extract(s, r"^-?(\d+)\.(\d+)E([+-]?\d+)$", 2)
+                ex_ = F.regexp_extract(s, r"^-?(\d+)\.(\d+)E([+-]?\d+)$", 3)
+                digits = F.concat(ip_, fp_).cast("long")
+                j = ex_.cast("int") - F.length(fp_) + F.lit(s_m)
+                table = F.array(*[F.lit(p) for p in pow10_mod])
+                rem = F.pmod(F.pmod(digits, F.lit(M)) * F.element_at(table, j + 1), F.lit(M))
+                huge_fail = F.when(
+                    (j >= 0) & (j <= 398) & (digits.isNotNull()), rem != 0
+                ).otherwise(dbl % F.lit(float(div)) != 0.0)
+            else:
+                huge_fail = dbl % F.lit(float(div)) != 0.0
+            # the decimal view ROUNDS sub-1e-12 values (6e-300 → 0.000…) —
+            # only trust it when it round-trips the double exactly
+            dec_ok = dec.isNotNull() & (dec.cast("double") == dbl)
             cond = F.when(
-                dec.isNotNull(), dec % F.lit(dstr).cast("decimal(38,12)") != 0
-            ).otherwise(dbl % F.lit(float(div)) != 0.0)
+                dec_ok, dec % F.lit(dstr).cast("decimal(38,12)") != 0
+            ).otherwise(huge_fail)
             return F.coalesce(cond, F.lit(False)), "multipleOf", f"not a multiple of {div}"
 
         checks.append(multiple_check)
@@ -1595,10 +1679,14 @@ def _type_pred(get, ts, t: str, dialect: Dialect, numkey, deckey, is_numeric):
             # draft4: a float literal with zero fraction is NOT an integer;
             # DECIMAL(p,0) with p>=19 can only come from a big int literal.
             return (ts == "BIGINT") | ts.rlike(r"^DECIMAL\((19|[2-9]\d|\d{3,}),0\)")
-        # integral check through the decimal view first (exact beyond 2^53),
-        # double fallback for |x| ≥ 1e26
+        # integral check through the decimal view first (exact beyond 2^53);
+        # double fallback uses `% 1.0` — F.floor(double) returns LONG and
+        # CLAMPS at 2^63, so huge doubles (1e300) would wrongly fail
+        # (found by scripts/differential_fuzz.py)
         num, dec = get(numkey), get(deckey)
-        integral = F.when(dec.isNotNull(), dec == F.floor(dec)).otherwise(num == F.floor(num))
+        integral = F.when(dec.isNotNull(), dec == F.floor(dec)).otherwise(
+            num % F.lit(1.0) == 0.0
+        )
         return is_numeric(get) & F.coalesce(integral, F.lit(True))
     raise Unsupported(f"unknown type {t!r}")
 

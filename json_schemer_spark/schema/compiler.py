@@ -218,12 +218,20 @@ class CompiledSchema:
         - ``violations: array<struct<keyword, instance_pointer, schema_pointer, message>>``
         """
         if not force_interpreter and self.is_lowerable():
-            from json_schemer_spark.schema.columnar import validate_json_column_lowered
-
-            return validate_json_column_lowered(
-                df, content_col, self.schema, self._lowering_dialect(),
-                registry=self._evaluator.registry,
+            from json_schemer_spark.schema.columnar import (
+                Unsupported,
+                validate_json_column_lowered,
             )
+
+            try:
+                return validate_json_column_lowered(
+                    df, content_col, self.schema, self._lowering_dialect(),
+                    registry=self._evaluator.registry,
+                )
+            except Unsupported:
+                # belt + braces: anything the lowering rejects mid-build
+                # (e.g. complexity backstops) falls back gracefully
+                pass
         return self._validate_with_interpreter(df, content_col)
 
     def _evaluator_factory(self) -> Callable[[], Evaluator]:
