@@ -20,8 +20,15 @@ from json_schemer_spark.schema.columnar import lowerable, validate_json_column_l
 from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
 from json_schemer_spark.schema.interpreter import Evaluator
 
-N_SCHEMAS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
+def _int_arg(i: int, default: int) -> int:
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default  # imported as a library (tests) or no arg given
+
+
+N_SCHEMAS = _int_arg(1, 400)
+SEED = _int_arg(2, 20260816)
 N_INSTANCES = 24
 BATCH = 40
 
