@@ -61,11 +61,17 @@ def ensure_corpus(spark, n_rows: int, path: str):
     return spark.read.parquet(path)
 
 
-def bench_corpus_validation(spark, corpus, repeats: int = 2) -> tuple[float, int]:
+def bench_corpus_validation(spark, corpus, warmups: int = 3, repeats: int = 3) -> tuple[float, int]:
     """The north metric: flagship-schema validation, columnar tier.
 
-    Identical-job warmup (whole-stage-codegen compile excluded) then
-    best-of-N (ambient interference on shared hosts is one-sided)."""
+    THREE identical-job warmups, then best-of-N. The generated whole-stage
+    code is large enough that the JVM's C2 compiler needs several full
+    passes before the hot loops are compiled: measured on this host, runs
+    1-3 of a fresh JVM take 5-15 s and runs 4+ settle at ~2.8 s for 2 M
+    rows. One warmup (the round-2 method) recorded a 2x-pessimistic
+    headline (BENCH_r02 6.28 s vs the steady-state 2.8 s). Min-of-N is
+    the right statistic here: ambient interference on shared hosts is
+    strictly one-sided."""
     import pyspark.sql.functions as F
 
     from json_schemer_spark import compile_schema
@@ -84,7 +90,8 @@ def bench_corpus_validation(spark, corpus, repeats: int = 2) -> tuple[float, int
         ).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    run_once()  # warmup: identical plan, codegen compiled
+    for _ in range(warmups):  # C2-compile the generated code (see docstring)
+        run_once()
     return min(run_once() for _ in range(repeats)), n
 
 

@@ -31,27 +31,50 @@ _MERSENNE = (1 << 31) - 1  # 2^31-1, prime; affine-permutation modulus
 MAX_BUCKET = 50
 
 
-def _bucket_pairs(xs, cap: int = MAX_BUCKET):
-    """All-pairs over the first ``cap`` elements of array column ``xs`` +
-    star pairs (head, x) for the tail. Elements may be scalars or structs;
-    returns array<struct<a, b>>."""
-    head = F.slice(xs, 1, cap)
-    dense = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(head) - 1),
-            lambda i: F.transform(
-                F.slice(head, i + 1, F.size(head)),
-                lambda x: F.struct(
-                    F.element_at(head, i).alias("a"), x.alias("b")
-                ),
-            ),
-        )
+def _bucket_pair_rows(banded: DataFrame, keys: Sequence[str], cap: int = MAX_BUCKET) -> DataFrame:
+    """Skew-safe bucket pairing: all-pairs over the ``cap`` smallest members
+    of each bucket + star pairs (bucket head, member) for the tail — WITHOUT
+    ever materializing a whole bucket.
+
+    ``banded`` must carry the bucket key columns ``keys`` plus a ``__m``
+    member column (scalar or struct; ordering and pairing are by its value).
+    Returns (a, b) pairs with a < b within dense pairs and a = bucket min
+    for star pairs — identical output to collecting each bucket sorted and
+    pairing, which is what round 2 did via collect_list.
+
+    Why a window, not collect_list (round-2 review, "What's wrong #2"):
+    a groupBy collect_list builds the ENTIRE bucket as one array value in a
+    single aggregation buffer — a degenerate bucket (10^7 boilerplate/empty
+    docs sharing a band hash, the normal case in a web crawl) allocates
+    multi-GB in one task and OOMs. WindowExec instead buffers partition rows
+    in an ExternalAppendOnlyUnsafeRowArray that SPILLS to disk, and every
+    per-row state here is bounded: row_number, the running min (== bucket
+    head, ascending order) and the next cap-1 members (bounded frame).
+    One shuffle + sort; no other plan change.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("__m")
+    ranked = banded.select(
+        F.col("__m"),
+        F.row_number().over(w).alias("__rn"),
+        # running min over ascending order == the bucket's global min
+        F.min("__m").over(w).alias("__head"),
+        # the next cap-1 members: bounded frame, never the whole bucket
+        F.collect_list("__m").over(w.rowsBetween(1, cap - 1)).alias("__nxt"),
     )
-    tail = F.slice(xs, cap + 1, F.greatest(F.size(xs) - cap, F.lit(0)))
-    star = F.transform(
-        tail, lambda x: F.struct(F.element_at(xs, 1).alias("a"), x.alias("b"))
+    rn = F.col("__rn")
+    # rows rn < cap emit dense pairs with members rn+1..cap (slice of __nxt);
+    # rows rn > cap emit one star pair (head, member); rn == cap emits
+    # nothing (its dense pairs were emitted by earlier rows). No otherwise:
+    # NULL arrays explode to zero rows.
+    dense = F.transform(
+        F.slice("__nxt", F.lit(1), F.lit(cap) - rn),
+        lambda x: F.struct(F.col("__m").alias("a"), x.alias("b")),
     )
-    return F.concat(dense, star)
+    star = F.array(F.struct(F.col("__head").alias("a"), F.col("__m").alias("b")))
+    pairs = F.when(rn < cap, dense).when(rn > cap, star)
+    return ranked.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -151,9 +174,10 @@ def minhash_lsh_candidates(
     """Near-duplicate candidate pairs via LSH banding → (id_a, id_b, n_bands).
 
     rows/band = num_hashes/bands. Pipeline: signature projection →
-    posexplode to B band rows → shuffle on (band, hash(band slice)) →
-    pairs within buckets (self-join inside groups via collect_list,
-    bounded by bucket size). Jaccard-verify with :func:`jaccard_pairs`.
+    posexplode to B band rows → one shuffle+sort on (band, hash(band
+    slice)) → windowed in-bucket pairing (:func:`_bucket_pair_rows`,
+    spill-safe even for degenerate mega-buckets). Jaccard-verify with
+    :func:`jaccard_pairs`.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -172,14 +196,10 @@ def minhash_lsh_candidates(
             ).alias("band", "band_hash"),
         )
     )
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(_bucket_pairs(F.col("ids"))).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    pairs = _bucket_pair_rows(
+        banded.select("band", "band_hash", F.col("id").alias("__m")),
+        ["band", "band_hash"],
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
     return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
 
 
@@ -290,17 +310,13 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: i
             ])
         ).alias("chunk", "chunk_val"),
     )
-    buckets = (
-        chunks.groupBy("chunk", "chunk_val")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("xs"))
-        .filter(F.size("xs") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(_bucket_pairs(F.col("xs"))).alias("p")
+    pairs = _bucket_pair_rows(
+        chunks.select("chunk", "chunk_val", F.struct("id", "sig").alias("__m")),
+        ["chunk", "chunk_val"],
     ).select(
-        F.col("p.a.id").alias("id_a"),
-        F.col("p.b.id").alias("id_b"),
-        F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig"))).alias("hamming"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
     )
     return (
         pairs.filter(F.col("hamming") <= max_hamming)

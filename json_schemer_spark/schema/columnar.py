@@ -291,6 +291,25 @@ def prepare(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
     return inlined
 
 
+def _check_num_literal(x) -> None:
+    """Gate numeric bound/const/enum literals on exact representability in
+    the decimal(38,12) tie-break view (round-2 ADVICE): plan build calls
+    ``float(x)`` — a 10**400 int literal (valid JSON!) would raise
+    OverflowError mid-build — and any literal OUTSIDE the decimal view
+    (|x| ≥ 1e26 or finer than 1e-12) degrades comparison to double-only,
+    which false-accepts instances that share the literal's double but
+    differ exactly (a 2**100 const would accept 2**100 + 1). All such
+    schemas fall back to the exact interpreter tier."""
+    if isinstance(x, bool) or not isinstance(x, (int, float)):
+        return
+    if isinstance(x, float) and (x != x or x in (float("inf"), float("-inf"))):
+        raise Unsupported("non-finite numeric literal")
+    if _dec_lit_or_none(x) is None:
+        raise Unsupported(
+            "numeric literal outside decimal(38,12): double-only compare is inexact"
+        )
+
+
 def lowerable(schema: Any, dialect: Dialect, registry: Any = None) -> bool:
     try:
         prepare(schema, dialect, registry=registry)
@@ -348,9 +367,14 @@ def _check(schema: Any, dialect: Dialect) -> None:
             for x in val:
                 if not isinstance(x, _SCALARS):
                     _canonical_json(x)  # raises if not representable
+                else:
+                    _check_num_literal(x)
         elif kw == "const":
-            if dialect.has_const and not isinstance(val, _SCALARS):
-                _canonical_json(val)
+            if dialect.has_const:
+                if not isinstance(val, _SCALARS):
+                    _canonical_json(val)
+                else:
+                    _check_num_literal(val)
         elif kw == "properties":
             if not isinstance(val, dict):
                 raise Unsupported("properties not a dict")
@@ -434,7 +458,8 @@ def _check(schema: Any, dialect: Dialect) -> None:
             if not isinstance(val, int) or isinstance(val, bool) or val < 0:
                 raise Unsupported(f"bad {kw}")
         elif kw in ("maximum", "minimum", "exclusiveMaximum", "exclusiveMinimum"):
-            pass  # numeric-or-ignored; draft4 boolean forms handled in lowering
+            # numeric-or-ignored; draft4 boolean forms handled in lowering
+            _check_num_literal(val)
         elif kw == "type":
             types = val if isinstance(val, list) else [val]
             for t in types:
@@ -1696,7 +1721,7 @@ def _type_pred(get, ts, t: str, dialect: Dialect, numkey, deckey, is_numeric):
 # ---------------------------------------------------------------------------
 
 def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dialect,
-                                 registry: Any = None):
+                                 registry: Any = None, prepared: bool = False):
     """Pure-Column validation: df + ``valid`` + ``violations`` columns.
 
     Chained projections over one scan (parse → typed views by dependency
@@ -1711,7 +1736,8 @@ def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dia
     """
     import pyspark.sql.functions as F
 
-    schema = prepare(schema, dialect, registry=registry)
+    if not prepared:  # callers holding a prepare() result skip the re-walk
+        schema = prepare(schema, dialect, registry=registry)
 
     content = F.col(content_col)
     # NULL content is JSON null (parity with the interpreter tier);
@@ -1757,9 +1783,13 @@ def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dia
     # projections — predicate pushdown on `.filter("valid")` otherwise
     # inlines parse_json per alias reference into the Filter AND the scan's
     # DataFilters (measured 15× per-row re-parsing, a 20× slowdown). The
-    # guard is always true: rand() ∈ [0, 1). Downstream operators see plain
+    # guard is always true — spark_partition_id() is non-negative by
+    # contract — but the function is flagged non-deterministic, which is
+    # what blocks the substitution (NOTE: F.rand(seed) >= -1 does NOT work;
+    # the optimizer constant-folds it away). Downstream operators see plain
     # materialized attributes, so grouping/joining on the outputs is
-    # unaffected. Pre-filters on source columns belong BEFORE validation.
+    # unaffected. Pre-filters on source columns belong BEFORE validation —
+    # use validate_json_column(prefilter=...) to land them in the scan.
     nd_guard = F.spark_partition_id() >= F.lit(0)
     overall = F.when(nd_guard, overall)
     violations = F.when(nd_guard, violations)

@@ -25,6 +25,8 @@ from json_schemer_spark.schema.registry import DEFAULT_BASE_URI, Registry
 VIOLATION_FIELDS = "keyword string, instance_pointer string, schema_pointer string, message string"
 VIOLATION_DDL = f"array<struct<{VIOLATION_FIELDS.replace(' string', ': string').replace(', ', ', ')}>>"
 
+_UNSET = object()  # sentinel for the memoized prepare() slot
+
 
 class CompiledSchema:
     """A compiled constraint plan for one JSON Schema document."""
@@ -76,6 +78,7 @@ class CompiledSchema:
         )
         # registry-derived: honors $schema dispatch incl. custom $vocabulary
         self.dialect = self._evaluator.root_resource.dialect
+        self._prepared = _UNSET  # memoized prepare() result (None = interpreter)
 
     # -- driver-side single-value API (tests / small data) -------------------
 
@@ -184,14 +187,28 @@ class CompiledSchema:
         about user callables. Format ASSERTION lowers when every asserted
         format is regex-exact in both tiers (uuid/duration/uri-template/
         json-pointer/relative-json-pointer); otherwise interpreter."""
-        if self.keywords or self.formats:
-            return False
-        if any(v for v in self._ext_opts.values()):
-            return False
-        from json_schemer_spark.schema.columnar import lowerable
+        return self._prepared_schema() is not None
 
-        return lowerable(self.schema, self._lowering_dialect(),
-                         registry=self._evaluator.registry)
+    def _prepared_schema(self):
+        """Memoized ``columnar.prepare`` result — ref-inlining + the subset
+        and cost walks run ONCE per plan, shared by is_lowerable() and
+        every validate_json_column() call (round-2 ADVICE: the two used to
+        each run the full pipeline, doubling driver-side compile work)."""
+        if self._prepared is _UNSET:
+            self._prepared = None
+            if not self.keywords and not self.formats and not any(
+                v for v in self._ext_opts.values()
+            ):
+                from json_schemer_spark.schema.columnar import Unsupported, prepare
+
+                try:
+                    self._prepared = prepare(
+                        self.schema, self._lowering_dialect(),
+                        registry=self._evaluator.registry,
+                    )
+                except (Unsupported, OverflowError):
+                    self._prepared = None
+        return self._prepared
 
     _STD_VOCABS = frozenset({
         "core", "applicator", "unevaluated", "validation",
@@ -210,14 +227,24 @@ class CompiledSchema:
             self.dialect, enabled_vocabs=frozenset(vocabs) | {"format-assertion"}
         )
 
-    def validate_json_column(self, df, content_col: str, *, force_interpreter: bool = False):
+    def validate_json_column(self, df, content_col: str, *, force_interpreter: bool = False,
+                             prefilter=None):
         """Validate a JSON-string column → df + ``valid`` + ``violations``.
 
         Returns a DataFrame with two added columns:
         - ``valid: boolean``
         - ``violations: array<struct<keyword, instance_pointer, schema_pointer, message>>``
-        """
-        if not force_interpreter and self.is_lowerable():
+
+        ``prefilter`` (Column or SQL string over SOURCE columns) is applied
+        BEFORE validation, so Catalyst pushes it into the scan. Filters
+        written after validation cannot push down — the validator's outputs
+        sit behind a deliberate non-deterministic pushdown barrier (see
+        columnar.validate_json_column_lowered) because pushing them re-parses
+        the document once per referenced alias (measured 15×)."""
+        if prefilter is not None:
+            df = df.filter(prefilter)
+        prepared = None if force_interpreter else self._prepared_schema()
+        if prepared is not None:
             from json_schemer_spark.schema.columnar import (
                 Unsupported,
                 validate_json_column_lowered,
@@ -225,10 +252,10 @@ class CompiledSchema:
 
             try:
                 return validate_json_column_lowered(
-                    df, content_col, self.schema, self._lowering_dialect(),
-                    registry=self._evaluator.registry,
+                    df, content_col, prepared, self._lowering_dialect(),
+                    registry=self._evaluator.registry, prepared=True,
                 )
-            except Unsupported:
+            except (Unsupported, OverflowError):
                 # belt + braces: anything the lowering rejects mid-build
                 # (e.g. complexity backstops) falls back gracefully
                 pass

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 from typing import Any, Callable, Optional
 
+from json_schemer_spark.schema import compiler as compiler_mod
 from json_schemer_spark.schema.compiler import CompiledSchema
 from json_schemer_spark.schema.dialects import OPENAPI30, OPENAPI31, Dialect
 from json_schemer_spark.schema.interpreter import Evaluator
@@ -95,6 +96,7 @@ class OpenAPISchema(CompiledSchema):
             formats=formats, keywords=keywords,
         )
         self.dialect = self._evaluator.root_resource.dialect
+        self._prepared = compiler_mod._UNSET  # memoized prepare() (see base)
 
     def _evaluator_factory(self):
         document_json = json.dumps(self.document)

@@ -212,3 +212,38 @@ def test_format_assertion_lowering(spark):
     out = s.validate_json_column(df, "content")
     assert [r.valid for r in out.select("valid").collect()] == [True, False, False, True]
     assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_huge_numeric_literals_fall_back(spark):
+    """ADVICE r2 (medium): numeric schema literals beyond double/decimal
+    range must route to the interpreter, not crash plan build with
+    OverflowError or silently compare double-only."""
+    from json_schemer_spark import compile_schema
+
+    # 10**400 overflows float() at plan build — valid JSON, must not crash
+    plan = compile_schema({"maximum": 10**400})
+    assert not plan.is_lowerable()
+    df = spark.createDataFrame([('5',), ('1e308',)], "content string")
+    assert [r.valid for r in plan.validate_json_column(df, "content").collect()] == [
+        True, True]
+
+    # int in [1e26, 1.8e308] that does NOT round-trip double: const/enum
+    # equality would be double-only on the columnar tier (false accepts)
+    big = 10**27 + 1  # not representable as double
+    for schema in ({"const": big}, {"enum": [big]}, {"minimum": big}):
+        p = compile_schema(schema)
+        assert not p.is_lowerable(), schema
+    df2 = spark.createDataFrame([(str(10**27),), (str(big),)], "content string")
+    out = compile_schema({"const": big}).validate_json_column(df2, "content")
+    assert [r.valid for r in out.collect()] == [False, True]
+
+    # even round-trippable huge ints (powers of two) must NOT lower: the
+    # INSTANCE 2**100 + 1 rounds to the literal's double → false accept
+    assert not compile_schema({"const": 2**100}).is_lowerable()
+    df3 = spark.createDataFrame([(str(2**100),), (str(2**100 + 1),)], "content string")
+    out3 = compile_schema({"const": 2**100}).validate_json_column(df3, "content")
+    assert [r.valid for r in out3.collect()] == [True, False]
+
+    # in-range literals keep lowering
+    assert compile_schema({"const": 2**53 + 1}).is_lowerable()
+    assert compile_schema({"maximum": 10**25}).is_lowerable()

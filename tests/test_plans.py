@@ -57,3 +57,24 @@ def test_exact_dedup_single_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(exact_duplicates(docs, "text", "doc_id"))
     assert p.count("Exchange") == 1, p[:800]
+
+
+def test_prefilter_lands_in_scan(spark):
+    """validate_json_column(prefilter=...) applies the filter BELOW the
+    pushdown barrier so it reaches the parquet scan (VERDICT r2 ask #9)."""
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA, generate_corpus
+    import os
+
+    path = "/tmp/jss_prefilter_corpus"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_corpus(spark, 1000).write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    plan = compile_schema(FLAGSHIP_SCHEMA)
+    out = plan.validate_json_column(corpus, "content", prefilter=F.col("lang") == "py")
+    p = _plan(out)
+    scan_line = next(line for line in p.splitlines() if "FileScan" in line)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,py)" in scan_line, scan_line
+    # and the result is the filtered subset, validated
+    n_py = corpus.filter(F.col("lang") == "py").count()
+    assert out.count() == n_py
