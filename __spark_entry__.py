@@ -417,7 +417,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ensure_oracle_caches() -> None:
+    """The q22/q23 oracles read /tmp parquet caches that the Spark queries
+    materialize. If the driver runs oracles FIRST in a fresh container,
+    build them here (one short-lived local session) so DuckDB has inputs."""
+    import os
+
+    need = [
+        p for p in ("/tmp/jss_corpus_cache_50000", "/tmp/jss_commits_dim_cache")
+        if not os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not need:
+        return
+    from pyspark.sql import SparkSession
+
+    from json_schemer_spark.sources.corpus import generate_commits_dim, generate_corpus
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    if "/tmp/jss_corpus_cache_50000" in need:
+        generate_corpus(spark, 50_000).write.mode("overwrite").parquet(
+            "/tmp/jss_corpus_cache_50000"
+        )
+    if "/tmp/jss_commits_dim_cache" in need:
+        generate_commits_dim(spark).write.mode("overwrite").parquet(
+            "/tmp/jss_commits_dim_cache"
+        )
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_oracle_caches()
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -342,10 +342,12 @@ def _check(schema: Any, dialect: Dialect) -> None:
             else:
                 from json_schemer_spark.schema.formats import (
                     FORMAT_CHECKS,
-                    OPENAPI_FORMATS,
+                    openapi_formats,
                 )
 
-                if val in FORMAT_CHECKS or (dialect.openapi and val in OPENAPI_FORMATS):
+                if val in FORMAT_CHECKS or (
+                    dialect.openapi and val in openapi_formats(dialect.openapi)
+                ):
                     raise Unsupported(f"asserted format {val!r} not rlike-lowerable")
             continue
         if kw in _ANNOTATIONS:

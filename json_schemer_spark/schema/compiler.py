@@ -92,11 +92,25 @@ class CompiledSchema:
         - basic:    2019-09 output format — root unit with flat ``errors``
                     (invalid) / ``annotations`` (valid) lists; validates
                     against the suite's output-schema (output-tests replay)
-        - detailed: basic shape with errors grouped per instance location
-        - verbose:  basic shape carrying BOTH error and annotation units
-                    (flat, not the reference's full nested tree)
+        - detailed: the reference's pruned hierarchy (result.rb:136-150):
+                    validity-mismatched branches dropped, single-matching-
+                    child nodes collapsed into the child
+        - verbose:  the full nested result tree (result.rb:152-160) — one
+                    unit per schema application, nested keyword units under
+                    ``errors``/``annotations`` per each unit's own validity
         """
-        collect = output_format in ("basic", "detailed", "verbose")
+        if output_format in ("detailed", "verbose"):
+            from json_schemer_spark.schema.output_tree import TreeEvaluator, detailed
+
+            if self._ext_opts.get("insert_property_defaults"):
+                # run the flat evaluation first for its instance mutations
+                # (defaults insertion / hooks), then build the tree over the
+                # mutated instance
+                self._evaluator.validate(instance, access_mode=access_mode)
+            tree = TreeEvaluator(self._evaluator).tree(
+                instance, access_mode=access_mode)
+            return detailed(tree) if output_format == "detailed" else tree
+        collect = output_format in ("basic",)
         res = self._evaluator.validate(
             instance, access_mode=access_mode, collect_annotations=collect
         )
@@ -141,27 +155,6 @@ class CompiledSchema:
             elif annotations:
                 root["annotations"] = annotations
             return root
-        if output_format == "verbose":
-            if errors:
-                root["errors"] = errors
-            if annotations:
-                root["annotations"] = annotations
-            return root
-        if output_format == "detailed":
-            # group error units per instance location (pruned-hierarchy
-            # approximation of result.rb:136-150 over flat rows)
-            by_loc: dict[str, list] = {}
-            for e in errors:
-                by_loc.setdefault(e["instanceLocation"], []).append(e)
-            if errors:
-                root["errors"] = [
-                    {"valid": False, "keywordLocation": "", "instanceLocation": loc,
-                     "errors": es}
-                    for loc, es in by_loc.items()
-                ]
-            elif annotations:
-                root["annotations"] = annotations
-            return root
         raise ValueError(f"unknown output_format {output_format!r}")
 
     def valid_value(self, instance: Any, access_mode: Optional[str] = None) -> bool:
@@ -170,6 +163,18 @@ class CompiledSchema:
     # -- meta-schema self-validation (reference json_schemer.rb:125-133,
     #    schema.rb:120-126: the engine validates its own schema document
     #    with the same engine — SURVEY.md §1.2) ------------------------------
+
+    def bundle(self) -> Any:
+        """Self-contained compound document: every remote resource this
+        schema references is embedded under the dialect's defs keyword,
+        stamped with its absolute ``$id`` (reference Schema#bundle,
+        schema.rb:223-270). The bundled document validates identically with
+        NO ref_resolver — see tests/test_bundle.py's suite replay."""
+        from json_schemer_spark.schema.bundle import bundle_document
+
+        return bundle_document(
+            self._evaluator.registry, self._evaluator.root_resource, self.schema
+        )
 
     def valid_schema(self) -> bool:
         return meta_schemer(self.dialect).valid_value(self.schema)
@@ -353,25 +358,71 @@ _META_PLANS: dict[str, "CompiledSchema"] = {}
 
 def meta_schemer(dialect: Dialect) -> "CompiledSchema":
     """Memoized validator FOR schema documents of ``dialect`` (built from
-    the embedded official meta-schemas — metaschemas.py; OpenAPI dialects
-    validate against their base draft)."""
+    the embedded official meta-schemas — metaschemas.py). OpenAPI dialects
+    use the reference's per-version schema-object metas (round-2 ADVICE):
+    3.0 = draft4 ∧ (Schema|Reference) from the official OAS 3.0 document
+    schema (openapi30/meta.rb:12-25); 3.1 = the OAS dialect meta
+    (2020-12 ∧ oas/3.1/meta/base — openapi31/meta.rb:28-36)."""
     got = _META_PLANS.get(dialect.name)
     if got is None:
         from json_schemer_spark.schema.dialects import DRAFT4, DRAFT202012
         from json_schemer_spark.schema.metaschemas import METASCHEMAS
 
-        base = dialect
-        if dialect.openapi == 31:
-            base = DRAFT202012
-        elif dialect.openapi == 30:
-            base = DRAFT4
-        meta = METASCHEMAS.get(base.uri) or METASCHEMAS.get(base.uri.rstrip("#"))
-        got = CompiledSchema(
-            meta,
-            dialect=base,
-            base_uri=base.uri.rstrip("#"),
-            ref_resolver=lambda uri: METASCHEMAS.get(uri) or METASCHEMAS.get(uri.rstrip("#")),
-        )
+        def base_resolver(uri: str):
+            return METASCHEMAS.get(uri) or METASCHEMAS.get(uri.rstrip("#"))
+
+        if dialect.openapi == 30:
+            from json_schemer_spark.schema.oas_documents import OAS30_DOCUMENT_SCHEMA
+
+            meta = {
+                "id": "json-schemer://openapi30/schema",
+                "$schema": "http://json-schema.org/draft-04/schema#",
+                "allOf": [
+                    {"$ref": "http://json-schema.org/draft-04/schema#"},
+                    {"oneOf": [
+                        {"$ref": "https://spec.openapis.org/oas/3.0/schema/2021-09-28#/definitions/Schema"},
+                        {"$ref": "https://spec.openapis.org/oas/3.0/schema/2021-09-28#/definitions/Reference"},
+                    ]},
+                ],
+            }
+
+            def resolver(uri: str):
+                if uri.startswith("https://spec.openapis.org/oas/3.0/schema/2021-09-28"):
+                    return OAS30_DOCUMENT_SCHEMA
+                return base_resolver(uri)
+
+            got = CompiledSchema(meta, dialect=DRAFT4,
+                                 base_uri="json-schemer://openapi30/schema",
+                                 ref_resolver=resolver)
+        elif dialect.openapi == 31:
+            from json_schemer_spark.schema.oas_documents import OAS31_META_BASE
+
+            meta = {
+                "$id": "https://spec.openapis.org/oas/3.1/dialect/base",
+                "$schema": "https://json-schema.org/draft/2020-12/schema",
+                "$dynamicAnchor": "meta",
+                "allOf": [
+                    {"$ref": "https://json-schema.org/draft/2020-12/schema"},
+                    {"$ref": "https://spec.openapis.org/oas/3.1/meta/base"},
+                ],
+            }
+
+            def resolver(uri: str):
+                if uri.startswith("https://spec.openapis.org/oas/3.1/meta/base"):
+                    return OAS31_META_BASE
+                return base_resolver(uri)
+
+            got = CompiledSchema(meta, dialect=DRAFT202012,
+                                 base_uri="https://spec.openapis.org/oas/3.1/dialect/base",
+                                 ref_resolver=resolver)
+        else:
+            meta = METASCHEMAS.get(dialect.uri) or METASCHEMAS.get(dialect.uri.rstrip("#"))
+            got = CompiledSchema(
+                meta,
+                dialect=dialect,
+                base_uri=dialect.uri.rstrip("#"),
+                ref_resolver=base_resolver,
+            )
         _META_PLANS[dialect.name] = got
     return got
 

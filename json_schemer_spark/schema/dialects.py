@@ -24,6 +24,7 @@ class Dialect:
     exclusive_ref: bool = False
     # keyword spellings / presence
     id_keyword: str = "$id"
+    defs_keyword: str = "$defs"           # "definitions" for drafts <= 7
     has_dollar_anchor: bool = False          # $anchor (2019+)
     has_dynamic_ref: bool = False            # $dynamicRef/$dynamicAnchor (2020-12)
     has_recursive_ref: bool = False          # $recursiveRef/$recursiveAnchor (2019-09)
@@ -88,6 +89,7 @@ DRAFT7 = Dialect(
     name="draft7",
     uri="http://json-schema.org/draft-07/schema#",
     exclusive_ref=True,
+    defs_keyword="definitions",
     has_if_then_else=True,
     content_assertion=True,
 )
@@ -96,12 +98,14 @@ DRAFT6 = Dialect(
     name="draft6",
     uri="http://json-schema.org/draft-06/schema#",
     exclusive_ref=True,
+    defs_keyword="definitions",
 )
 
 DRAFT4 = Dialect(
     name="draft4",
     uri="http://json-schema.org/draft-04/schema#",
     strict_integer=True,
+    defs_keyword="definitions",
     exclusive_ref=True,
     id_keyword="id",
     has_contains=False,
@@ -134,6 +138,7 @@ OPENAPI30 = Dialect(
     name="openapi30",
     uri="json-schemer://openapi30/schema",
     strict_integer=True,
+    defs_keyword="definitions",
     exclusive_ref=True,
     id_keyword="id",
     has_contains=False,

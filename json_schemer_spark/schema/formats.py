@@ -309,15 +309,50 @@ def _check_byte(v: Any, _f: Any) -> bool:
         return False
 
 
-OPENAPI_FORMATS: dict[str, Callable[[Any, Any], bool]] = {
+def _strict_int_value(v) -> "int | None":
+    """Draft4 valid_integer?: strict Integer only — integral Floats are NOT
+    integers, so OAS 3.0 int32/int64 vacuous-pass them (openapi30/meta.rb:7-8,
+    round-2 ADVICE)."""
+    if isinstance(v, bool) or not isinstance(v, int):
+        return None
+    return v
+
+
+def _check_int_bits_strict(v: Any, bits: int) -> bool:
+    i = _strict_int_value(v)
+    if i is None:
+        return True
+    return -(2 ** (bits - 1)) <= i <= 2 ** (bits - 1) - 1
+
+
+# OAS 3.1 format set (openapi31/meta.rb:6-12): int32/int64 use the 2020-12
+# integer notion (integral Floats count); byte/binary/date are NOT in 3.1.
+OPENAPI31_FORMATS: dict[str, Callable[[Any, Any], bool]] = {
     "int32": lambda v, _f: _check_int_bits(v, 32),
     "int64": lambda v, _f: _check_int_bits(v, 64),
     "float": _check_float_format,
     "double": _check_float_format,
     "password": lambda _v, _f: True,
+}
+
+# OAS 3.0 (openapi30/meta.rb:6-12): 3.1 set + draft4-strict int32/int64 +
+# byte/binary/date.
+OPENAPI30_FORMATS: dict[str, Callable[[Any, Any], bool]] = {
+    **OPENAPI31_FORMATS,
+    "int32": lambda v, _f: _check_int_bits_strict(v, 32),
+    "int64": lambda v, _f: _check_int_bits_strict(v, 64),
     "byte": _check_byte,
     # JSON strings are text by construction; the reference's
     # encoding==BINARY check has no analogue here → always valid
     "binary": lambda _v, _f: True,
     "date": _wrap(check_date),
 }
+
+
+def openapi_formats(version: int) -> dict[str, Callable[[Any, Any], bool]]:
+    """The OAS format table for dialect.openapi (30 or 31)."""
+    return OPENAPI30_FORMATS if version == 30 else OPENAPI31_FORMATS
+
+
+# union table, kept for places that only gate on "is this an OAS format"
+OPENAPI_FORMATS: dict[str, Callable[[Any, Any], bool]] = OPENAPI30_FORMATS

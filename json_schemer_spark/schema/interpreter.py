@@ -74,6 +74,76 @@ class _Result:
 _VALID = _Result(True, None, None, None)
 
 
+class _St:
+    """Per-application mutable state for a compiled node plan. Containers
+    allocate lazily — most applications produce no errors/props/items."""
+
+    __slots__ = ("valid", "errors", "props", "items", "anns")
+
+    def __init__(self) -> None:
+        self.valid = True
+        self.errors = None
+        self.props = None
+        self.items = None
+        self.anns = None
+
+
+def _merge(st: "_St", r: _Result) -> None:
+    """Fold an asserting IN-PLACE child application ($ref/allOf/
+    dependentSchemas/...) into the node state: verdict asserts; evaluated
+    props/items and annotations merge when the child is valid."""
+    if r.valid:
+        if r.props:
+            if st.props is None:
+                st.props = set(r.props)
+            else:
+                st.props.update(r.props)
+        if r.items:
+            if st.items is None:
+                st.items = set(r.items)
+            else:
+                st.items.update(r.items)
+        if r.anns:
+            if st.anns is None:
+                st.anns = list(r.anns)
+            else:
+                st.anns.extend(r.anns)
+    else:
+        st.valid = False
+        if r.errors:
+            if st.errors is None:
+                st.errors = list(r.errors)
+            else:
+                st.errors.extend(r.errors)
+
+
+def _merge_soft(st: "_St", r: _Result) -> None:
+    """Non-asserting in-place merge (anyOf winners, a passing `if`)."""
+    if r.valid:
+        _merge(st, r)
+
+
+def _merge_pos(st: "_St", r: _Result) -> None:
+    """Fold a POSITIONAL child application (properties/items/contains/
+    propertyNames/unevaluated*) in: verdict asserts and annotations flow up,
+    but the child's evaluated-property/item sets do NOT — they describe a
+    different instance location (round-3 fix: merging them made
+    unevaluatedProperties miss parent/child name collisions)."""
+    if r.valid:
+        if r.anns:
+            if st.anns is None:
+                st.anns = list(r.anns)
+            else:
+                st.anns.extend(r.anns)
+    else:
+        st.valid = False
+        if r.errors:
+            if st.errors is None:
+                st.errors = list(r.errors)
+            else:
+                st.errors.extend(r.errors)
+
+
 def _builtin_base64(value: Any):
     import base64
     import binascii
@@ -245,6 +315,9 @@ class Evaluator:
         # chain (result.rb:50-75): most-specific location key → keyword →
         # catch-all. Templates use the same %{var} interpolation as x-error.
         self.i18n_messages = i18n_messages or {}
+        # compiled node plans, memoized by schema-node identity (nodes are
+        # kept alive by the registry's document pins)
+        self._plans: dict[int, Callable] = {}
         # per-validate state (Evaluator is used single-threaded per row)
         self._access_mode: Optional[str] = None
         self._defaults: Optional[_DefaultsCollector] = None
@@ -339,606 +412,988 @@ class Evaluator:
         scope: list[Resource],
         dialect: Dialect,
     ) -> _Result:
+        """Evaluate via the schema node's COMPILED plan (round-3 rework:
+        per-node closure pre-dispatch — the round-2 profile attributed ~45%
+        of interpreter time to re-walking the schema dict and its ~60
+        keyword/dialect branches on every application). Plans compile
+        lazily on first application (preserving the reference's lazy $ref
+        resolution: unresolvable refs raise on first validate) and are
+        memoized by node identity; everything static — keyword values,
+        dialect gates, compiled regexes, resolved refs, child plans, error
+        templates, schema pointers — binds at compile time."""
         if schema is True or (isinstance(schema, dict) and not schema):
             return _VALID
         if schema is False:
             return _Result(False, [("schema", ipath, spath, "false schema disallows everything")], None, None)
         if not isinstance(schema, dict):
             raise SchemaCompileError(f"invalid schema at {spath!r}: {type(schema)}")
+        plan = self._plans.get(id(schema))
+        if plan is None:
+            plan = self._compile(schema, spath, dialect)
+            self._plans[id(schema)] = plan
+        return plan(instance, ipath, scope)
 
-        info = self.registry.info(schema)
-        pushed = False
+    def _child(self, sub: Any, child_spath: str, dialect: Dialect):
+        """Compile-time: a runnable ``fn(instance, ipath, scope) -> _Result``
+        for a subschema position. Dict children resolve their compiled plan
+        lazily through the shared memo (cycle-safe; shared $ref targets
+        share one plan)."""
+        if sub is True or (isinstance(sub, dict) and not sub):
+            return lambda instance, ipath, scope: _VALID
+        if sub is False:
+            def run_false(instance, ipath, scope, _sp=child_spath):
+                return _Result(False, [("schema", ipath, _sp, "false schema disallows everything")], None, None)
+            return run_false
+        if not isinstance(sub, dict):
+            raise SchemaCompileError(f"invalid schema at {child_spath!r}: {type(sub)}")
+        key = id(sub)
+        plans = self._plans
+        cell: list = [None]
+
+        def run_dict(instance, ipath, scope):
+            p = cell[0]
+            if p is None:
+                p = plans.get(key)
+                if p is None:
+                    p = self._compile(sub, child_spath, dialect)
+                    plans[key] = p
+                cell[0] = p
+            return p(instance, ipath, scope)
+
+        return run_dict
+
+    def _compile(self, schema: dict, fb_spath: str, fb_dialect: Dialect):
+        """Build the node plan: lists of bound check closures per phase.
+
+        Every closure receives ``(instance, ipath, scope, st)`` and mutates
+        the per-application ``_St``. Evaluation ORDER is part of the
+        contract (classic error rows are order-sensitive in the golden
+        fixtures): refs, discriminator, type/enum/const, access-mode,
+        format, the instance-typed block, in-place applicators, custom
+        keywords, unevaluated*, annotations.
+
+        Positional children (properties/items/contains/...) do NOT merge
+        their evaluated-property/item sets into this node — those describe
+        a DIFFERENT instance location (round-3 fix: the round-2 evaluator
+        leaked them, so `unevaluatedProperties` missed name collisions like
+        {"a": {"b": 1}, "b": 2}). In-place applicators (refs, allOf/anyOf/
+        oneOf/if/then/else, dependentSchemas, discriminator) do merge.
+        """
+        registry = self.registry
+        info = registry.info(schema)
         if info is not None:
             dialect = info.dialect
             base_uri = info.base_uri
-            if info.resource is not scope[-1]:
-                scope.append(info.resource)
-                pushed = True
+            spath = info.pointer
+            resource = info.resource
         else:
-            base_uri = scope[-1].uri
+            dialect = fb_dialect or self.root_resource.dialect
+            base_uri = self.root_resource.uri
+            spath = fb_spath
+            resource = None
 
-        try:
-            return self._eval_object(schema, instance, ipath, spath, scope, dialect, base_uri)
-        finally:
-            if pushed:
-                scope.pop()
-
-    def _eval_object(
-        self,
-        schema: dict,
-        instance: Any,
-        ipath: str,
-        spath: str,
-        scope: list[Resource],
-        dialect: Dialect,
-        base_uri: str,
-    ) -> _Result:
-        # track in-flight schema nodes (discriminator loop guard) and the
-        # ancestor-validity cell chain (insert_property_defaults)
-        self._eval_stack.append(id(schema))
-        cell = None
-        if self._defaults is not None and self._not_depth == 0:
-            cell = [True]
-            self._defaults.stack.append(cell)
-        try:
-            r = self._eval_object_inner(
-                schema, instance, ipath, spath, scope, dialect, base_uri)
-            if cell is not None:
-                cell[0] = r.valid
-            return r
-        finally:
-            if cell is not None:
-                self._defaults.stack.pop()
-            self._eval_stack.pop()
-
-    def _eval_object_inner(
-        self,
-        schema: dict,
-        instance: Any,
-        ipath: str,
-        spath: str,
-        scope: list[Resource],
-        dialect: Dialect,
-        base_uri: str,
-    ) -> _Result:
-        errors: list = []
-        props: set = set()
-        items: set = set()
-        anns: list = []
-
-        def merge(r: _Result, assert_: bool = True) -> bool:
-            """Fold a child result in; annotations only from valid children."""
-            nonlocal errors
-            if r.valid:
-                if r.props:
-                    props.update(r.props)
-                if r.items:
-                    items.update(r.items)
-                if r.anns:
-                    anns.extend(r.anns)
-            elif assert_:
-                if r.errors:
-                    errors.extend(r.errors)
-            return r.valid
-
-        valid = True
-
+        sid = id(schema)
         x_error = schema.get("x-error")
+        i18n = self.i18n_messages
 
-        def fail(keyword: str, message: str, at: str = None) -> None:
-            # classic-output convention (reference result.rb:162-179): the
-            # schema pointer addresses the schema OBJECT; the failing
-            # keyword rides in the type field
-            nonlocal valid
-            valid = False
-            at_path = at if at is not None else ipath
+        def bind_fail(keyword: str):
+            """Per-keyword error emitter with the x-error / i18n template
+            resolution done at COMPILE time (result.rb:28-75)."""
             template = None
             if x_error is not None:
-                # custom message templates with %{var} interpolation
-                # (core.rb:122-126 XError; result.rb:28-35,243-257)
                 template = (
                     x_error.get(keyword, x_error.get("*"))
                     if isinstance(x_error, dict) else x_error
                 )
-            elif self.i18n_messages:
-                # i18n fallback chain (result.rb:50-75): location key first,
-                # then keyword, then catch-all
+            elif i18n:
                 for key in (f"{base_uri}#{spath}/{keyword}",
                             f"#{spath}/{keyword}", keyword, "*"):
-                    if key in self.i18n_messages:
-                        template = self.i18n_messages[key]
+                    if key in i18n:
+                        template = i18n[key]
                         break
+            kval = schema.get(keyword)
             if isinstance(template, str):
-                message = _interpolate_x_error(
-                    template, instance, at_path, keyword,
-                    schema.get(keyword), spath,
-                )
-            errors.append((keyword, at_path, spath, message))
+                def emit(st, instance, ipath, message, at=None, _t=template,
+                         _kw=keyword, _kv=kval, _sp=spath):
+                    at_path = ipath if at is None else at
+                    st.valid = False
+                    msg = _interpolate_x_error(_t, instance, at_path, _kw, _kv, _sp)
+                    if st.errors is None:
+                        st.errors = []
+                    st.errors.append((_kw, at_path, _sp, msg))
+            else:
+                def emit(st, instance, ipath, message, at=None, _kw=keyword, _sp=spath):
+                    at_path = ipath if at is None else at
+                    st.valid = False
+                    if st.errors is None:
+                        st.errors = []
+                    st.errors.append((_kw, at_path, _sp, message))
+            return emit
+
+        common: list = []
+        num_checks: list = []
+        str_checks: list = []
+        arr_checks: list = []
+        obj_checks: list = []
+        tail: list = []
 
         # --- referencing -------------------------------------------------
+        exclusive_ref_only = False
         ref = schema.get("$ref")
         if isinstance(ref, str):
-            try:
-                target, _res, tptr = self.registry.resolve_ref_with_pointer(ref, base_uri)
-            except (KeyError, IndexError, TypeError) as exc:
-                raise SchemaCompileError(f"unresolvable $ref {ref!r}: {exc}") from exc
-            # classic output addresses errors at the resolved TARGET's
-            # location, not through the $ref chain (schema.rb:272-283)
-            if tptr is None:
-                tptr = f"{spath}/$ref"
-            if id(target) in self._disc_stack:
-                # a ref back into a schema that is mid-discriminator-dispatch
-                # is skipped once (allOf inheritance — skip_ref_once analogue)
-                pass
-            else:
-                r = self._eval(target, instance, ipath, tptr, scope, dialect)
-                if not merge(r):
-                    valid = False
+            disc_stack = self._disc_stack
+
+            def compile_ref(_ref=ref):
+                try:
+                    target, _res, tptr = registry.resolve_ref_with_pointer(_ref, base_uri)
+                except (KeyError, IndexError, TypeError) as exc:
+                    raise SchemaCompileError(f"unresolvable $ref {_ref!r}: {exc}") from exc
+                # classic output addresses errors at the resolved TARGET's
+                # location, not through the $ref chain (schema.rb:272-283)
+                if tptr is None:
+                    tptr = f"{spath}/$ref"
+                return self._child(target, tptr, dialect), id(target)
+
+            ref_cell: list = [None]
+
+            def ref_check(instance, ipath, scope, st):
+                bound = ref_cell[0]
+                if bound is None:
+                    bound = ref_cell[0] = compile_ref()
+                runner, tid = bound
+                if tid in disc_stack:
+                    # a ref back into a schema mid-discriminator-dispatch is
+                    # skipped once (allOf inheritance — skip_ref_once)
+                    return
+                _merge(st, runner(instance, ipath, scope))
+
+            common.append(ref_check)
             if dialect.exclusive_ref:
-                # drafts 4-7: $ref replaces all sibling keywords
-                return _Result(valid, errors or None, props or None, items or None, anns or None)
+                # drafts 4-7: $ref replaces ALL sibling keywords
+                exclusive_ref_only = True
 
-        dref = schema.get("$dynamicRef")
-        if dialect.has_dynamic_ref and isinstance(dref, str):
-            r = self._eval_dynamic_ref(dref, instance, ipath, spath, scope, dialect, base_uri)
-            if not merge(r):
-                valid = False
+        if not exclusive_ref_only:
+            dref = schema.get("$dynamicRef")
+            if dialect.has_dynamic_ref and isinstance(dref, str):
+                def dref_check(instance, ipath, scope, st, _r=dref):
+                    _merge(st, self._eval_dynamic_ref(
+                        _r, instance, ipath, spath, scope, dialect, base_uri))
+                common.append(dref_check)
 
-        rref = schema.get("$recursiveRef")
-        if dialect.has_recursive_ref and isinstance(rref, str):
-            r = self._eval_recursive_ref(instance, ipath, spath, scope, dialect, base_uri)
-            if not merge(r):
-                valid = False
+            rref = schema.get("$recursiveRef")
+            if dialect.has_recursive_ref and isinstance(rref, str):
+                def rref_check(instance, ipath, scope, st):
+                    _merge(st, self._eval_recursive_ref(
+                        instance, ipath, spath, scope, dialect, base_uri))
+                common.append(rref_check)
 
-        # --- OpenAPI discriminator (before validation keywords — the
-        # reference emits its error first, open_api_test.rb:212) ------------
+        # --- OpenAPI discriminator (before validation keywords) -----------
         disc = schema.get("discriminator") if dialect.openapi else None
         disc_active = isinstance(disc, dict) and isinstance(disc.get("propertyName"), str)
-        if disc_active and id(schema) not in self._disc_stack:
-            r = self._eval_discriminator(
-                schema, disc, instance, ipath, spath, scope, dialect, base_uri
-            )
-            if not merge(r):
-                valid = False
+        if disc_active and not exclusive_ref_only:
+            def disc_check(instance, ipath, scope, st, _d=disc):
+                if sid not in self._disc_stack:
+                    _merge(st, self._eval_discriminator(
+                        schema, _d, instance, ipath, spath, scope, dialect, base_uri))
+            common.append(disc_check)
 
-        # --- type / enum / const -----------------------------------------
         v_on = dialect.vocab_enabled("validation")
 
-        ty = schema.get("type") if v_on else None
-        if ty is not None:
-            allowed = ty if isinstance(ty, list) else [ty]
-            # OpenAPI 3.0: `nullable: true` extends `type` with null
-            # (reference openapi30/vocab/base.rb:6-14)
-            if dialect.openapi == 30 and schema.get("nullable") is True:
-                allowed = list(allowed) + ["null"]
-            if not any(self._type_ok(instance, t, dialect) for t in allowed):
-                # single type → error type is the expected type name
-                # (reference convention); type arrays → "type"
+        if not exclusive_ref_only:
+            # --- type / enum / const -------------------------------------
+            ty = schema.get("type") if v_on else None
+            if ty is not None:
+                allowed = ty if isinstance(ty, list) else [ty]
+                if dialect.openapi == 30 and schema.get("nullable") is True:
+                    allowed = list(allowed) + ["null"]
+                strict = dialect.strict_integer
+                preds = []
+                for t in allowed:
+                    if t == "integer":
+                        preds.append(lambda i, _s=strict: is_json_integer(i, strict=_s))
+                    elif t == "number":
+                        preds.append(is_json_number)
+                    elif t == "string":
+                        preds.append(lambda i: isinstance(i, str))
+                    elif t == "boolean":
+                        preds.append(lambda i: isinstance(i, bool))
+                    elif t == "null":
+                        preds.append(lambda i: i is None)
+                    elif t == "array":
+                        preds.append(lambda i: isinstance(i, list))
+                    elif t == "object":
+                        preds.append(lambda i: isinstance(i, dict))
+                    else:
+                        preds.append(lambda i: False)
                 kw = ty if isinstance(ty, str) else "type"
-                fail(kw, f"expected {ty}, got {json_type(instance)}")
+                type_fail = bind_fail(kw)
+                if len(preds) == 1:
+                    pred = preds[0]
 
-        if v_on and "enum" in schema:
-            if not any(json_equal(instance, v) for v in schema["enum"]):
-                fail("enum", "value not in enumeration")
+                    def type_check(instance, ipath, scope, st, _ty=ty):
+                        if not pred(instance):
+                            type_fail(st, instance, ipath,
+                                      f"expected {_ty}, got {json_type(instance)}")
+                else:
+                    def type_check(instance, ipath, scope, st, _ty=ty, _ps=tuple(preds)):
+                        for p in _ps:
+                            if p(instance):
+                                return
+                        type_fail(st, instance, ipath,
+                                  f"expected {_ty}, got {json_type(instance)}")
+                common.append(type_check)
 
-        if v_on and dialect.has_const and "const" in schema:
-            if not json_equal(instance, schema["const"]):
-                fail("const", "value does not equal const")
+            if v_on and "enum" in schema:
+                enum_vals = tuple(schema["enum"])
+                enum_fail = bind_fail("enum")
 
-        # --- readOnly / writeOnly under access_mode (meta_data.rb:6-26) ----
-        if self._access_mode:
-            if schema.get("readOnly") is True and self._access_mode != "read":
-                fail("readOnly", f"value at {ipath or '/'} is `readOnly`")
-            if schema.get("writeOnly") is True and self._access_mode != "write":
-                fail("writeOnly", f"value at {ipath or '/'} is `writeOnly`")
+                def enum_check(instance, ipath, scope, st, _vs=enum_vals):
+                    for v in _vs:
+                        if json_equal(instance, v):
+                            return
+                    enum_fail(st, instance, ipath, "value not in enumeration")
+                common.append(enum_check)
 
-        # --- format assertion (all instance types — checkers vacuous-pass
-        # non-applicable types, reference format.rb:5-68; OAS int32/int64/
-        # float/double apply to numbers, openapi31/meta.rb:5-12) ------------
-        assert_fmt = self.assert_formats or (
-            dialect.enabled_vocabs is not None
-            and "format-assertion" in dialect.enabled_vocabs
-        )
-        if assert_fmt and "format" in schema:
-            fmt = schema["format"]
-            checker = self.formats.get(fmt)
-            if checker is None and not self.formats:
-                from json_schemer_spark.schema.formats import FORMAT_CHECKS
+            if v_on and dialect.has_const and "const" in schema:
+                const_val = schema["const"]
+                const_fail = bind_fail("const")
 
-                checker = FORMAT_CHECKS.get(fmt)
-            if checker is None and dialect.openapi:
-                from json_schemer_spark.schema.formats import OPENAPI_FORMATS
+                def const_check(instance, ipath, scope, st, _v=const_val):
+                    if not json_equal(instance, _v):
+                        const_fail(st, instance, ipath, "value does not equal const")
+                common.append(const_check)
 
-                checker = OPENAPI_FORMATS.get(fmt)
-            if checker is not None and not checker(instance, fmt):
-                fail("format", f"not a valid {fmt}")
+            # --- readOnly / writeOnly under access_mode -------------------
+            if schema.get("readOnly") is True or schema.get("writeOnly") is True:
+                ro = schema.get("readOnly") is True
+                wo = schema.get("writeOnly") is True
+                ro_fail = bind_fail("readOnly") if ro else None
+                wo_fail = bind_fail("writeOnly") if wo else None
 
-        # --- numbers -------------------------------------------------------
-        if is_json_number(instance) and v_on:
-            if "multipleOf" in schema and not is_multiple_of(instance, schema["multipleOf"]):
-                fail("multipleOf", f"not a multiple of {schema['multipleOf']}")
-            maximum = schema.get("maximum")
-            if is_json_number(maximum):
-                excl = dialect.boolean_exclusive_bounds and schema.get("exclusiveMaximum") is True
-                if (instance >= maximum) if excl else (instance > maximum):
-                    fail("exclusiveMaximum" if excl else "maximum",
-                         f"{instance} above {'exclusive ' if excl else ''}maximum {maximum}")
-            minimum = schema.get("minimum")
-            if is_json_number(minimum):
-                excl = dialect.boolean_exclusive_bounds and schema.get("exclusiveMinimum") is True
-                if (instance <= minimum) if excl else (instance < minimum):
-                    fail("exclusiveMinimum" if excl else "minimum",
-                         f"{instance} below {'exclusive ' if excl else ''}minimum {minimum}")
-            if not dialect.boolean_exclusive_bounds:
-                exmax = schema.get("exclusiveMaximum")
-                if is_json_number(exmax) and instance >= exmax:
-                    fail("exclusiveMaximum", f"{instance} not < {exmax}")
-                exmin = schema.get("exclusiveMinimum")
-                if is_json_number(exmin) and instance <= exmin:
-                    fail("exclusiveMinimum", f"{instance} not > {exmin}")
+                def access_check(instance, ipath, scope, st):
+                    mode = self._access_mode
+                    if not mode:
+                        return
+                    if ro and mode != "read":
+                        ro_fail(st, instance, ipath, f"value at {ipath or '/'} is `readOnly`")
+                    if wo and mode != "write":
+                        wo_fail(st, instance, ipath, f"value at {ipath or '/'} is `writeOnly`")
+                common.append(access_check)
 
-        # --- strings -------------------------------------------------------
-        elif isinstance(instance, str):
-            if v_on and "maxLength" in schema and len(instance) > schema["maxLength"]:
-                fail("maxLength", f"length {len(instance)} > {schema['maxLength']}")
-            if v_on and "minLength" in schema and len(instance) < schema["minLength"]:
-                fail("minLength", f"length {len(instance)} < {schema['minLength']}")
-            if v_on and "pattern" in schema and not self._regex(schema["pattern"]).search(instance):
-                fail("pattern", f"does not match pattern {schema['pattern']!r}")
+            # --- format assertion ----------------------------------------
+            assert_fmt = self.assert_formats or (
+                dialect.enabled_vocabs is not None
+                and "format-assertion" in dialect.enabled_vocabs
+            )
+            if assert_fmt and "format" in schema:
+                fmt = schema["format"]
+                checker = self.formats.get(fmt)
+                if checker is None and not self.formats:
+                    from json_schemer_spark.schema.formats import FORMAT_CHECKS
 
-            # draft7: contentEncoding/contentMediaType assert
-            # (draft7/vocab/validation.rb:38-65 in the reference; annotation
-            # only in 2019+)
+                    checker = FORMAT_CHECKS.get(fmt)
+                if checker is None and dialect.openapi:
+                    from json_schemer_spark.schema.formats import openapi_formats
+
+                    checker = openapi_formats(dialect.openapi).get(fmt)
+                if checker is not None:
+                    fmt_fail = bind_fail("format")
+
+                    def format_check(instance, ipath, scope, st, _c=checker, _f=fmt):
+                        if not _c(instance, _f):
+                            fmt_fail(st, instance, ipath, f"not a valid {_f}")
+                    common.append(format_check)
+
+            # --- numbers --------------------------------------------------
+            if v_on:
+                if "multipleOf" in schema:
+                    mo = schema["multipleOf"]
+                    mo_fail = bind_fail("multipleOf")
+
+                    def mo_check(instance, ipath, scope, st, _m=mo):
+                        if not is_multiple_of(instance, _m):
+                            mo_fail(st, instance, ipath, f"not a multiple of {_m}")
+                    num_checks.append(mo_check)
+
+                bexcl = dialect.boolean_exclusive_bounds
+                maximum = schema.get("maximum")
+                if is_json_number(maximum):
+                    excl = bexcl and schema.get("exclusiveMaximum") is True
+                    kw = "exclusiveMaximum" if excl else "maximum"
+                    mx_fail = bind_fail(kw)
+                    prefix = "exclusive " if excl else ""
+
+                    if excl:
+                        def max_check(instance, ipath, scope, st, _b=maximum):
+                            if instance >= _b:
+                                mx_fail(st, instance, ipath,
+                                        f"{instance} above {prefix}maximum {_b}")
+                    else:
+                        def max_check(instance, ipath, scope, st, _b=maximum):
+                            if instance > _b:
+                                mx_fail(st, instance, ipath,
+                                        f"{instance} above {prefix}maximum {_b}")
+                    num_checks.append(max_check)
+
+                minimum = schema.get("minimum")
+                if is_json_number(minimum):
+                    excl = bexcl and schema.get("exclusiveMinimum") is True
+                    kw = "exclusiveMinimum" if excl else "minimum"
+                    mn_fail = bind_fail(kw)
+                    prefix = "exclusive " if excl else ""
+
+                    if excl:
+                        def min_check(instance, ipath, scope, st, _b=minimum):
+                            if instance <= _b:
+                                mn_fail(st, instance, ipath,
+                                        f"{instance} below {prefix}minimum {_b}")
+                    else:
+                        def min_check(instance, ipath, scope, st, _b=minimum):
+                            if instance < _b:
+                                mn_fail(st, instance, ipath,
+                                        f"{instance} below {prefix}minimum {_b}")
+                    num_checks.append(min_check)
+
+                if not bexcl:
+                    exmax = schema.get("exclusiveMaximum")
+                    if is_json_number(exmax):
+                        exmax_fail = bind_fail("exclusiveMaximum")
+
+                        def exmax_check(instance, ipath, scope, st, _b=exmax):
+                            if instance >= _b:
+                                exmax_fail(st, instance, ipath, f"{instance} not < {_b}")
+                        num_checks.append(exmax_check)
+                    exmin = schema.get("exclusiveMinimum")
+                    if is_json_number(exmin):
+                        exmin_fail = bind_fail("exclusiveMinimum")
+
+                        def exmin_check(instance, ipath, scope, st, _b=exmin):
+                            if instance <= _b:
+                                exmin_fail(st, instance, ipath, f"{instance} not > {_b}")
+                        num_checks.append(exmin_check)
+
+            # --- strings --------------------------------------------------
+            if v_on and "maxLength" in schema:
+                ml = schema["maxLength"]
+                ml_fail = bind_fail("maxLength")
+
+                def maxlen_check(instance, ipath, scope, st, _b=ml):
+                    if len(instance) > _b:
+                        ml_fail(st, instance, ipath, f"length {len(instance)} > {_b}")
+                str_checks.append(maxlen_check)
+            if v_on and "minLength" in schema:
+                mnl = schema["minLength"]
+                mnl_fail = bind_fail("minLength")
+
+                def minlen_check(instance, ipath, scope, st, _b=mnl):
+                    if len(instance) < _b:
+                        mnl_fail(st, instance, ipath, f"length {len(instance)} < {_b}")
+                str_checks.append(minlen_check)
+            if v_on and "pattern" in schema:
+                pat = schema["pattern"]
+                rx = self._regex(pat)
+                pat_fail = bind_fail("pattern")
+
+                def pattern_check(instance, ipath, scope, st, _rx=rx, _p=pat):
+                    if not _rx.search(instance):
+                        pat_fail(st, instance, ipath, f"does not match pattern {_p!r}")
+                str_checks.append(pattern_check)
+
             if dialect.content_assertion and (
                 "contentEncoding" in schema or "contentMediaType" in schema
             ):
-                decoded: Any = instance
-                ok = True
                 enc = schema.get("contentEncoding")
-                if enc is not None:
-                    codec = self.content_encodings.get(enc) or _BUILTIN_ENCODINGS.get(enc)
+                mt = schema.get("contentMediaType")
+                codec = (self.content_encodings.get(enc) or _BUILTIN_ENCODINGS.get(enc)) if enc is not None else None
+                parser = (self.content_media_types.get(mt) or _BUILTIN_MEDIA_TYPES.get(mt)) if mt is not None else None
+                ce_fail = bind_fail("contentEncoding")
+                cm_fail = bind_fail("contentMediaType")
+
+                def content_check(instance, ipath, scope, st, _enc=enc, _mt=mt):
+                    decoded = instance
+                    ok = True
                     if codec is not None:
                         ok, dec2 = codec(decoded)
                         if ok:
                             decoded = dec2
                         else:
-                            fail("contentEncoding", f"not valid {enc}")
-                mt = schema.get("contentMediaType")
-                if ok and mt is not None:
-                    parser = self.content_media_types.get(mt) or _BUILTIN_MEDIA_TYPES.get(mt)
-                    if parser is not None:
+                            ce_fail(st, instance, ipath, f"not valid {_enc}")
+                    if ok and parser is not None:
                         ok2, _parsed = parser(decoded)
                         if not ok2:
-                            fail("contentMediaType", f"not parseable as {mt}")
+                            cm_fail(st, instance, ipath, f"not parseable as {_mt}")
+                str_checks.append(content_check)
 
-        # --- arrays ---------------------------------------------------------
-        elif isinstance(instance, list):
-            n = len(instance)
-            if v_on and "maxItems" in schema and n > schema["maxItems"]:
-                fail("maxItems", f"{n} items > {schema['maxItems']}")
-            if v_on and "minItems" in schema and n < schema["minItems"]:
-                fail("minItems", f"{n} items < {schema['minItems']}")
-            if v_on and schema.get("uniqueItems") is True and not unique_items(instance):
-                fail("uniqueItems", "array items are not unique")
+            # --- arrays ---------------------------------------------------
+            if v_on and "maxItems" in schema:
+                mi = schema["maxItems"]
+                mi_fail = bind_fail("maxItems")
+
+                def maxitems_check(instance, ipath, scope, st, _b=mi):
+                    if len(instance) > _b:
+                        mi_fail(st, instance, ipath, f"{len(instance)} items > {_b}")
+                arr_checks.append(maxitems_check)
+            if v_on and "minItems" in schema:
+                mni = schema["minItems"]
+                mni_fail = bind_fail("minItems")
+
+                def minitems_check(instance, ipath, scope, st, _b=mni):
+                    if len(instance) < _b:
+                        mni_fail(st, instance, ipath, f"{len(instance)} items < {_b}")
+                arr_checks.append(minitems_check)
+            if v_on and schema.get("uniqueItems") is True:
+                ui_fail = bind_fail("uniqueItems")
+
+                def unique_check(instance, ipath, scope, st):
+                    if not unique_items(instance):
+                        ui_fail(st, instance, ipath, "array items are not unique")
+                arr_checks.append(unique_check)
 
             if dialect.has_prefix_items:
                 prefix = schema.get("prefixItems")
-                plen = 0
-                if isinstance(prefix, list):
-                    plen = len(prefix)
-                    for i, sub in enumerate(prefix[:n]):
-                        r = self._eval(sub, instance[i], f"{ipath}/{i}",
-                                       f"{spath}/prefixItems/{i}", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        items.add(i)
+                plen = len(prefix) if isinstance(prefix, list) else 0
+                if plen:
+                    runners = tuple(
+                        self._child(sub, f"{spath}/prefixItems/{i}", dialect)
+                        for i, sub in enumerate(prefix)
+                    )
+
+                    def prefix_check(instance, ipath, scope, st, _rs=runners):
+                        n = len(instance)
+                        items = st.items
+                        if items is None:
+                            items = st.items = set()
+                        for i, run in enumerate(_rs):
+                            if i >= n:
+                                break
+                            _merge_pos(st, run(instance[i], f"{ipath}/{i}", scope))
+                            items.add(i)
+                    arr_checks.append(prefix_check)
                 it = schema.get("items")
-                if it is not None and plen < n:
-                    for i in range(plen, n):
-                        r = self._eval(it, instance[i], f"{ipath}/{i}", f"{spath}/items", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        items.add(i)
+                if it is not None:
+                    it_runner = self._child(it, f"{spath}/items", dialect)
+
+                    def items_check(instance, ipath, scope, st, _run=it_runner, _plen=plen):
+                        n = len(instance)
+                        if _plen >= n:
+                            return
+                        items = st.items
+                        if items is None:
+                            items = st.items = set()
+                        for i in range(_plen, n):
+                            _merge_pos(st, _run(instance[i], f"{ipath}/{i}", scope))
+                            items.add(i)
+                    arr_checks.append(items_check)
             elif dialect.array_form_items:
                 it = schema.get("items")
                 if isinstance(it, list):
-                    for i, sub in enumerate(it[:n]):
-                        r = self._eval(sub, instance[i], f"{ipath}/{i}", f"{spath}/items/{i}", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        items.add(i)
+                    runners = tuple(
+                        self._child(sub, f"{spath}/items/{i}", dialect)
+                        for i, sub in enumerate(it)
+                    )
                     add = schema.get("additionalItems")
-                    if add is not None and n > len(it):
-                        for i in range(len(it), n):
-                            r = self._eval(add, instance[i], f"{ipath}/{i}",
-                                           f"{spath}/additionalItems", scope, dialect)
-                            if not merge(r):
-                                valid = False
+                    add_runner = (
+                        self._child(add, f"{spath}/additionalItems", dialect)
+                        if add is not None else None
+                    )
+
+                    def tuple_items_check(instance, ipath, scope, st, _rs=runners,
+                                          _ar=add_runner):
+                        n = len(instance)
+                        items = st.items
+                        if items is None:
+                            items = st.items = set()
+                        for i, run in enumerate(_rs):
+                            if i >= n:
+                                break
+                            _merge_pos(st, run(instance[i], f"{ipath}/{i}", scope))
                             items.add(i)
+                        if _ar is not None and n > len(_rs):
+                            for i in range(len(_rs), n):
+                                _merge_pos(st, _ar(instance[i], f"{ipath}/{i}", scope))
+                                items.add(i)
+                    arr_checks.append(tuple_items_check)
                 elif it is not None:
-                    for i in range(n):
-                        r = self._eval(it, instance[i], f"{ipath}/{i}", f"{spath}/items", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        items.add(i)
+                    it_runner = self._child(it, f"{spath}/items", dialect)
+
+                    def list_items_check(instance, ipath, scope, st, _run=it_runner):
+                        items = st.items
+                        if items is None:
+                            items = st.items = set()
+                        for i in range(len(instance)):
+                            _merge_pos(st, _run(instance[i], f"{ipath}/{i}", scope))
+                            items.add(i)
+                    arr_checks.append(list_items_check)
 
             if dialect.has_contains and "contains" in schema:
-                sub = schema["contains"]
-                matched = [
-                    i for i in range(n)
-                    if self._eval(sub, instance[i], f"{ipath}/{i}", f"{spath}/contains", scope, dialect).valid
-                ]
+                c_runner = self._child(schema["contains"], f"{spath}/contains", dialect)
                 min_c = schema.get("minContains", 1) if dialect.has_min_max_contains else 1
                 max_c = schema.get("maxContains") if dialect.has_min_max_contains else None
-                if len(matched) < min_c:
-                    # the reference emits BOTH: contains asserts the bound
-                    # itself AND minContains re-asserts via the annotation
-                    # (draft202012 vocab: applicator.rb:191-216 +
-                    # validation.rb:199-221)
-                    fail("contains", f"{len(matched)} items match contains, need >= {min_c}")
-                    if "minContains" in schema:
-                        fail("minContains",
-                             f"{len(matched)} items match contains, need >= {min_c}")
-                if max_c is not None and len(matched) > max_c:
-                    fail("maxContains", f"{len(matched)} items match contains, need <= {max_c}")
-                items.update(matched)
+                has_min_kw = "minContains" in schema and dialect.has_min_max_contains
+                c_fail = bind_fail("contains")
+                minc_fail = bind_fail("minContains") if has_min_kw else None
+                maxc_fail = bind_fail("maxContains") if max_c is not None else None
 
-        # --- objects ----------------------------------------------------------
-        elif isinstance(instance, dict):
-            n = len(instance)
-            if v_on and "maxProperties" in schema and n > schema["maxProperties"]:
-                fail("maxProperties", f"{n} properties > {schema['maxProperties']}")
-            if v_on and "minProperties" in schema and n < schema["minProperties"]:
-                fail("minProperties", f"{n} properties < {schema['minProperties']}")
+                def contains_check(instance, ipath, scope, st, _run=c_runner,
+                                   _min=min_c, _max=max_c):
+                    matched = [
+                        i for i in range(len(instance))
+                        if _run(instance[i], f"{ipath}/{i}", scope).valid
+                    ]
+                    if len(matched) < _min:
+                        # the reference emits BOTH: contains asserts the
+                        # bound itself AND minContains re-asserts
+                        c_fail(st, instance, ipath,
+                               f"{len(matched)} items match contains, need >= {_min}")
+                        if minc_fail is not None:
+                            minc_fail(st, instance, ipath,
+                                      f"{len(matched)} items match contains, need >= {_min}")
+                    if _max is not None and len(matched) > _max:
+                        maxc_fail(st, instance, ipath,
+                                  f"{len(matched)} items match contains, need <= {_max}")
+                    if matched:
+                        if st.items is None:
+                            st.items = set()
+                        st.items.update(matched)
+                arr_checks.append(contains_check)
+
+            # --- objects --------------------------------------------------
+            if v_on and "maxProperties" in schema:
+                mp = schema["maxProperties"]
+                mp_fail = bind_fail("maxProperties")
+
+                def maxprops_check(instance, ipath, scope, st, _b=mp):
+                    if len(instance) > _b:
+                        mp_fail(st, instance, ipath, f"{len(instance)} properties > {_b}")
+                obj_checks.append(maxprops_check)
+            if v_on and "minProperties" in schema:
+                mnp = schema["minProperties"]
+                mnp_fail = bind_fail("minProperties")
+
+                def minprops_check(instance, ipath, scope, st, _b=mnp):
+                    if len(instance) < _b:
+                        mnp_fail(st, instance, ipath, f"{len(instance)} properties < {_b}")
+                obj_checks.append(minprops_check)
+
             req = schema.get("required") if v_on else None
             if isinstance(req, list):
-                req_keys = req
-                if self._access_mode and isinstance(schema.get("properties"), dict):
-                    # required trims keys inapplicable under the access mode
-                    # (validation.rb:243-266)
-                    def _inapplicable(k):
-                        sub = schema["properties"].get(k)
-                        if not isinstance(sub, dict):
-                            return False
-                        if self._access_mode == "write" and sub.get("readOnly") is True:
-                            return True
-                        return self._access_mode == "read" and sub.get("writeOnly") is True
+                req_fail = bind_fail("required")
+                props_schema = schema.get("properties")
+                props_schema = props_schema if isinstance(props_schema, dict) else None
 
-                    req_keys = [k for k in req if not _inapplicable(k)]
-                missing = [k for k in req_keys if k not in instance]
-                if missing:
-                    fail("required", f"missing required properties: {missing}")
+                def required_check(instance, ipath, scope, st, _req=tuple(req),
+                                   _ps=props_schema):
+                    req_keys = _req
+                    mode = self._access_mode
+                    if mode and _ps is not None:
+                        # required trims keys inapplicable under the access
+                        # mode (validation.rb:243-266)
+                        def _inapplicable(k):
+                            sub = _ps.get(k)
+                            if not isinstance(sub, dict):
+                                return False
+                            if mode == "write" and sub.get("readOnly") is True:
+                                return True
+                            return mode == "read" and sub.get("writeOnly") is True
+
+                        req_keys = [k for k in _req if not _inapplicable(k)]
+                    missing = [k for k in req_keys if k not in instance]
+                    if missing:
+                        req_fail(st, instance, ipath,
+                                 f"missing required properties: {missing}")
+                obj_checks.append(required_check)
 
             dep_req = None
             if v_on and dialect.has_dependent_keywords:
                 dep_req = schema.get("dependentRequired")
             if isinstance(dep_req, dict):
-                for key, needs in dep_req.items():
-                    if key in instance:
-                        missing = [k for k in needs if k not in instance]
-                        if missing:
-                            # error located at the TRIGGERING key's value
-                            fail("dependentRequired",
-                                 f"{key!r} present but missing {missing}",
-                                 at=join_pointer(ipath, key))
+                depr_fail = bind_fail("dependentRequired")
+                dep_items = tuple((k, tuple(v)) for k, v in dep_req.items())
+
+                def depreq_check(instance, ipath, scope, st, _deps=dep_items):
+                    for key, needs in _deps:
+                        if key in instance:
+                            missing = [k for k in needs if k not in instance]
+                            if missing:
+                                # error located at the TRIGGERING key's value
+                                depr_fail(st, instance, ipath,
+                                          f"{key!r} present but missing {missing}",
+                                          at=join_pointer(ipath, key))
+                obj_checks.append(depreq_check)
 
             properties = schema.get("properties")
-            matched_keys: set = set()
-            if isinstance(properties, dict):
-                # before_property_validation hooks mutate the instance
-                # around the `properties` application (applicator.rb:232-240)
-                for hook in self.before_property_validation:
-                    for k, sub in properties.items():
-                        hook(instance, k, sub, schema)
-                if self._defaults is not None and self._not_depth == 0:
-                    for k, sub in properties.items():
-                        if k not in instance:
-                            d = self._resolve_default(sub, base_uri)
-                            if d is not None:
-                                self._defaults.add(instance, k, d[0])
-                for k, sub in properties.items():
-                    if k in instance:
-                        r = self._eval(sub, instance[k], join_pointer(ipath, k),
-                                       f"{spath}/properties/{_esc(k)}", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        matched_keys.add(k)
-                for hook in self.after_property_validation:
-                    for k, sub in properties.items():
-                        hook(instance, k, sub, schema)
-
+            has_props = isinstance(properties, dict) and bool(properties)
             pattern_props = schema.get("patternProperties")
-            if isinstance(pattern_props, dict):
-                for pattern, sub in pattern_props.items():
-                    rx = self._regex(pattern)
-                    for k in instance:
-                        if rx.search(k):
-                            r = self._eval(sub, instance[k], join_pointer(ipath, k),
-                                           f"{spath}/patternProperties/{_esc(pattern)}", scope, dialect)
-                            if not merge(r):
-                                valid = False
-                            matched_keys.add(k)
+            has_pats = isinstance(pattern_props, dict) and bool(pattern_props)
+            has_addl = "additionalProperties" in schema
 
-            props.update(matched_keys)
+            if has_props or has_pats or has_addl:
+                prop_runners = ()
+                if has_props:
+                    prop_runners = tuple(
+                        (k, sub, self._child(sub, f"{spath}/properties/{_esc(k)}", dialect))
+                        for k, sub in properties.items()
+                    )
+                pat_runners = ()
+                if has_pats:
+                    pat_runners = tuple(
+                        (self._regex(pattern),
+                         self._child(sub, f"{spath}/patternProperties/{_esc(pattern)}", dialect))
+                        for pattern, sub in pattern_props.items()
+                    )
+                addl_runner = (
+                    self._child(schema["additionalProperties"],
+                                f"{spath}/additionalProperties", dialect)
+                    if has_addl else None
+                )
+                before_hooks = tuple(self.before_property_validation) if has_props else ()
+                after_hooks = tuple(self.after_property_validation) if has_props else ()
 
-            if "additionalProperties" in schema:
-                sub = schema["additionalProperties"]
-                for k in instance:
-                    if k not in matched_keys:
-                        r = self._eval(sub, instance[k], join_pointer(ipath, k),
-                                       f"{spath}/additionalProperties", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        props.add(k)
+                def props_check(instance, ipath, scope, st, _prs=prop_runners,
+                                _pats=pat_runners, _ar=addl_runner,
+                                _bh=before_hooks, _ah=after_hooks):
+                    props = st.props
+                    if props is None:
+                        props = st.props = set()
+                    matched: set = set()
+                    if _prs:
+                        # before_property_validation hooks mutate the
+                        # instance around `properties` (applicator.rb:232-240)
+                        for hook in _bh:
+                            for k, sub, _run in _prs:
+                                hook(instance, k, sub, schema)
+                        if self._defaults is not None and self._not_depth == 0:
+                            for k, sub, _run in _prs:
+                                if k not in instance:
+                                    d = self._resolve_default(sub, base_uri)
+                                    if d is not None:
+                                        self._defaults.add(instance, k, d[0])
+                        for k, sub, run in _prs:
+                            if k in instance:
+                                _merge_pos(st, run(instance[k], join_pointer(ipath, k), scope))
+                                matched.add(k)
+                        for hook in _ah:
+                            for k, sub, _run in _prs:
+                                hook(instance, k, sub, schema)
+                    for rx, run in _pats:
+                        for k in instance:
+                            if rx.search(k):
+                                _merge_pos(st, run(instance[k], join_pointer(ipath, k), scope))
+                                matched.add(k)
+                    props.update(matched)
+                    if _ar is not None:
+                        for k in instance:
+                            if k not in matched:
+                                _merge_pos(st, _ar(instance[k], join_pointer(ipath, k), scope))
+                                props.add(k)
+                obj_checks.append(props_check)
 
             if dialect.has_property_names and "propertyNames" in schema:
-                sub = schema["propertyNames"]
-                for k in instance:
-                    # errors locate at the OBJECT (a key is not an
-                    # addressable instance location — reference convention)
-                    r = self._eval(sub, k, ipath,
-                                   f"{spath}/propertyNames", scope, dialect)
-                    if not merge(r):
-                        valid = False
+                pn_runner = self._child(schema["propertyNames"],
+                                        f"{spath}/propertyNames", dialect)
+
+                def propnames_check(instance, ipath, scope, st, _run=pn_runner):
+                    for k in instance:
+                        # errors locate at the OBJECT (a key is not an
+                        # addressable instance location)
+                        _merge_pos(st, _run(k, ipath, scope))
+                obj_checks.append(propnames_check)
 
             deps = schema.get("dependencies") if dialect.has_legacy_dependencies else None
             if isinstance(deps, dict):
+                dep_fail = bind_fail("dependencies")
+                dep_entries = []
                 for key, dep in deps.items():
-                    if key in instance:
-                        if isinstance(dep, list):
-                            # unlike dependentRequired, legacy dependencies
-                            # errors locate at the OBJECT (reference conv.)
-                            missing = [k for k in dep if k not in instance]
-                            if missing:
-                                fail("dependencies",
-                                     f"{key!r} present but missing {missing}")
-                        else:
-                            r = self._eval(dep, instance, ipath,
-                                           f"{spath}/dependencies/{_esc(key)}", scope, dialect)
-                            if not merge(r):
-                                valid = False
+                    if isinstance(dep, list):
+                        dep_entries.append((key, tuple(dep), None))
+                    else:
+                        dep_entries.append(
+                            (key, None,
+                             self._child(dep, f"{spath}/dependencies/{_esc(key)}", dialect))
+                        )
+
+                def dependencies_check(instance, ipath, scope, st, _es=tuple(dep_entries)):
+                    for key, needs, run in _es:
+                        if key in instance:
+                            if needs is not None:
+                                # unlike dependentRequired, legacy errors
+                                # locate at the OBJECT (reference conv.)
+                                missing = [k for k in needs if k not in instance]
+                                if missing:
+                                    dep_fail(st, instance, ipath,
+                                             f"{key!r} present but missing {missing}")
+                            else:
+                                _merge(st, run(instance, ipath, scope))
+                obj_checks.append(dependencies_check)
 
             dep_schemas = schema.get("dependentSchemas") if dialect.has_dependent_keywords else None
             if isinstance(dep_schemas, dict):
-                for key, sub in dep_schemas.items():
-                    if key in instance:
-                        r = self._eval(sub, instance, ipath,
-                                       f"{spath}/dependentSchemas/{_esc(key)}", scope, dialect)
-                        if not merge(r):
-                            valid = False
+                ds_runners = tuple(
+                    (key, self._child(sub, f"{spath}/dependentSchemas/{_esc(key)}", dialect))
+                    for key, sub in dep_schemas.items()
+                )
 
-        # --- in-place applicators (all instance types) -------------------------
-        # OpenAPI: `discriminator` replaces anyOf/oneOf dispatch entirely
-        # (openapi31/vocab/base.rb:25-35 — AnyOf/OneOf validate → nil)
-        all_of = schema.get("allOf")
-        if isinstance(all_of, list):
-            for i, sub in enumerate(all_of):
-                r = self._eval(sub, instance, ipath, f"{spath}/allOf/{i}", scope, dialect)
-                if not merge(r):
-                    valid = False
+                def depschemas_check(instance, ipath, scope, st, _rs=ds_runners):
+                    for key, run in _rs:
+                        if key in instance:
+                            _merge(st, run(instance, ipath, scope))
+                obj_checks.append(depschemas_check)
 
-        any_of = schema.get("anyOf")
-        if disc_active:
-            any_of = None
-        if isinstance(any_of, list):
-            results = [
-                self._eval(sub, instance, ipath, f"{spath}/anyOf/{i}", scope, dialect)
-                for i, sub in enumerate(any_of)
-            ]
-            if any(r.valid for r in results):
-                for r in results:
-                    merge(r, assert_=False)
-            else:
-                # all branches failed: propagate branch errors only
-                # (the reference emits no anyOf summary row)
-                valid = False
-                for r in results:
-                    if r.errors:
-                        errors.extend(r.errors)
+            # --- in-place applicators (all instance types) ----------------
+            all_of = schema.get("allOf")
+            if isinstance(all_of, list):
+                runners = tuple(
+                    self._child(sub, f"{spath}/allOf/{i}", dialect)
+                    for i, sub in enumerate(all_of)
+                )
 
-        one_of = schema.get("oneOf")
-        if disc_active:
-            one_of = None
-        if isinstance(one_of, list):
-            results = [
-                self._eval(sub, instance, ipath, f"{spath}/oneOf/{i}", scope, dialect)
-                for i, sub in enumerate(one_of)
-            ]
-            n_valid = sum(1 for r in results if r.valid)
-            if n_valid == 1:
-                for r in results:
-                    merge(r, assert_=False)
-            else:
-                valid = False
-                if n_valid == 0:
-                    # propagate branch errors (no summary — reference conv.)
-                    for r in results:
-                        if r.errors:
-                            errors.extend(r.errors)
-                else:
-                    # annotations of individually-valid branches survive a
-                    # multi-valid oneOf failure (reference: adjacent_results
-                    # keep dynamically-valid nested results, schema.rb:150)
-                    for r in results:
-                        merge(r, assert_=False)
-                    errors.append(("oneOf", ipath, spath,
-                                   f"{n_valid} subschemas matched, need exactly 1"))
+                def allof_check(instance, ipath, scope, st, _rs=runners):
+                    for run in _rs:
+                        _merge(st, run(instance, ipath, scope))
+                tail.append(allof_check)
 
-        if "not" in schema:
-            # defaults are never collected under `not` (result.rb:186)
-            self._not_depth += 1
-            try:
-                r = self._eval(schema["not"], instance, ipath, f"{spath}/not", scope, dialect)
-            finally:
-                self._not_depth -= 1
-            if r.valid:
-                fail("not", "instance matched 'not' subschema")
+            any_of = schema.get("anyOf")
+            if disc_active:
+                # OpenAPI: discriminator replaces anyOf/oneOf dispatch
+                any_of = None
+            if isinstance(any_of, list):
+                runners = tuple(
+                    self._child(sub, f"{spath}/anyOf/{i}", dialect)
+                    for i, sub in enumerate(any_of)
+                )
 
-        if dialect.has_if_then_else and "if" in schema:
-            r_if = self._eval(schema["if"], instance, ipath, f"{spath}/if", scope, dialect)
-            if r_if.valid:
-                merge(r_if, assert_=False)
-                if "then" in schema:
-                    r = self._eval(schema["then"], instance, ipath, f"{spath}/then", scope, dialect)
-                    if not merge(r):
-                        valid = False
-            else:
-                if "else" in schema:
-                    r = self._eval(schema["else"], instance, ipath, f"{spath}/else", scope, dialect)
-                    if not merge(r):
-                        valid = False
+                def anyof_check(instance, ipath, scope, st, _rs=runners):
+                    results = [run(instance, ipath, scope) for run in _rs]
+                    if any(r.valid for r in results):
+                        for r in results:
+                            _merge_soft(st, r)
+                    else:
+                        # all branches failed: propagate branch errors only
+                        # (the reference emits no anyOf summary row)
+                        st.valid = False
+                        for r in results:
+                            if r.errors:
+                                if st.errors is None:
+                                    st.errors = []
+                                st.errors.extend(r.errors)
+                tail.append(anyof_check)
 
-        # --- custom keywords (extension surface, §2.7) ---------------------------
-        for kw, fn in self.custom_keywords.items():
-            if kw in schema:
-                result = fn(instance, schema[kw], ipath)
-                if result is True or result is None:
-                    pass
-                elif result is False:
-                    fail(kw, f"custom keyword {kw!r} failed")
-                elif isinstance(result, (list, tuple)):
-                    for err_type in result:
-                        fail(str(err_type), f"custom keyword {kw!r}: {err_type}")
+            one_of = schema.get("oneOf")
+            if disc_active:
+                one_of = None
+            if isinstance(one_of, list):
+                runners = tuple(
+                    self._child(sub, f"{spath}/oneOf/{i}", dialect)
+                    for i, sub in enumerate(one_of)
+                )
 
-        # --- unevaluated* (consume annotations; must run last — §2.6) -----------
-        if dialect.has_unevaluated:
-            if "unevaluatedProperties" in schema and isinstance(instance, dict):
-                sub = schema["unevaluatedProperties"]
-                for k in instance:
-                    if k not in props:
-                        r = self._eval(sub, instance[k], join_pointer(ipath, k),
-                                       f"{spath}/unevaluatedProperties", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        props.add(k)
-            if "unevaluatedItems" in schema and isinstance(instance, list):
-                sub = schema["unevaluatedItems"]
-                for i in range(len(instance)):
-                    if i not in items:
-                        r = self._eval(sub, instance[i], f"{ipath}/{i}",
-                                       f"{spath}/unevaluatedItems", scope, dialect)
-                        if not merge(r):
-                            valid = False
-                        items.add(i)
+                def oneof_check(instance, ipath, scope, st, _rs=runners, _sp=spath):
+                    results = [run(instance, ipath, scope) for run in _rs]
+                    n_valid = sum(1 for r in results if r.valid)
+                    if n_valid == 1:
+                        for r in results:
+                            _merge_soft(st, r)
+                    else:
+                        st.valid = False
+                        if st.errors is None:
+                            st.errors = []
+                        if n_valid == 0:
+                            # propagate branch errors (no summary)
+                            for r in results:
+                                if r.errors:
+                                    st.errors.extend(r.errors)
+                        else:
+                            # annotations of individually-valid branches
+                            # survive a multi-valid oneOf failure
+                            for r in results:
+                                _merge_soft(st, r)
+                            st.errors.append(("oneOf", ipath, _sp,
+                                              f"{n_valid} subschemas matched, need exactly 1"))
+                tail.append(oneof_check)
 
-        # --- annotation producers (meta-data values, annotation-mode format,
-        # unknown keywords — reference meta_data.rb, format_annotation.rb,
-        # core.rb:128-156 UnknownKeyword) -----------------------------------
-        if self._collect_anns:
+            if "not" in schema:
+                not_runner = self._child(schema["not"], f"{spath}/not", dialect)
+                not_fail = bind_fail("not")
+
+                def not_check(instance, ipath, scope, st, _run=not_runner):
+                    # defaults are never collected under `not` (result.rb:186)
+                    self._not_depth += 1
+                    try:
+                        r = _run(instance, ipath, scope)
+                    finally:
+                        self._not_depth -= 1
+                    if r.valid:
+                        not_fail(st, instance, ipath, "instance matched 'not' subschema")
+                tail.append(not_check)
+
+            if dialect.has_if_then_else and "if" in schema:
+                if_runner = self._child(schema["if"], f"{spath}/if", dialect)
+                then_runner = (
+                    self._child(schema["then"], f"{spath}/then", dialect)
+                    if "then" in schema else None
+                )
+                else_runner = (
+                    self._child(schema["else"], f"{spath}/else", dialect)
+                    if "else" in schema else None
+                )
+
+                def ite_check(instance, ipath, scope, st, _if=if_runner,
+                              _then=then_runner, _else=else_runner):
+                    r_if = _if(instance, ipath, scope)
+                    if r_if.valid:
+                        _merge_soft(st, r_if)
+                        if _then is not None:
+                            _merge(st, _then(instance, ipath, scope))
+                    elif _else is not None:
+                        _merge(st, _else(instance, ipath, scope))
+                tail.append(ite_check)
+
+            # --- custom keywords (extension surface, §2.7) ----------------
+            if self.custom_keywords:
+                for kw, fn in self.custom_keywords.items():
+                    if kw in schema:
+                        kw_fail = bind_fail(kw)
+                        kw_val = schema[kw]
+
+                        def custom_check(instance, ipath, scope, st, _fn=fn,
+                                         _kw=kw, _kv=kw_val, _fail=kw_fail, _sp=spath):
+                            result = _fn(instance, _kv, ipath)
+                            if result is True or result is None:
+                                pass
+                            elif result is False:
+                                _fail(st, instance, ipath,
+                                      f"custom keyword {_kw!r} failed")
+                            elif isinstance(result, (list, tuple)) and result:
+                                st.valid = False
+                                if st.errors is None:
+                                    st.errors = []
+                                for err_type in result:
+                                    st.errors.append(
+                                        (str(err_type), ipath, _sp,
+                                         f"custom keyword {_kw!r}: {err_type}"))
+                        tail.append(custom_check)
+
+            # --- unevaluated* (consume annotations; must run last) --------
+            if dialect.has_unevaluated:
+                if "unevaluatedProperties" in schema:
+                    up_runner = self._child(schema["unevaluatedProperties"],
+                                            f"{spath}/unevaluatedProperties", dialect)
+
+                    def uneval_props_check(instance, ipath, scope, st, _run=up_runner):
+                        if not isinstance(instance, dict):
+                            return
+                        props = st.props
+                        if props is None:
+                            props = st.props = set()
+                        for k in instance:
+                            if k not in props:
+                                _merge_pos(st, _run(instance[k], join_pointer(ipath, k), scope))
+                                props.add(k)
+                    tail.append(uneval_props_check)
+                if "unevaluatedItems" in schema:
+                    ui_runner = self._child(schema["unevaluatedItems"],
+                                            f"{spath}/unevaluatedItems", dialect)
+
+                    def uneval_items_check(instance, ipath, scope, st, _run=ui_runner):
+                        if not isinstance(instance, list):
+                            return
+                        items = st.items
+                        if items is None:
+                            items = st.items = set()
+                        for i in range(len(instance)):
+                            if i not in items:
+                                _merge_pos(st, _run(instance[i], f"{ipath}/{i}", scope))
+                                items.add(i)
+                    tail.append(uneval_items_check)
+
+        # --- annotation producers (meta-data, annotation-mode format,
+        # unknown keywords — meta_data.rb, format_annotation.rb, core.rb).
+        # Skipped under exclusive $ref (drafts 4-7 ignore ref siblings).
+        meta_anns = () if exclusive_ref_only else tuple(
+            (kw, schema[kw], f"{spath}/{_esc(kw)}")
             for kw in ("title", "description", "default", "deprecated",
-                       "readOnly", "writeOnly", "examples"):
-                if kw in schema:
-                    anns.append((kw, ipath, f"{spath}/{_esc(kw)}", schema[kw]))
-            if "format" in schema and not self.assert_formats:
-                anns.append(("format", ipath, f"{spath}/format", schema["format"]))
-            for kw, value in schema.items():
-                if kw not in _NON_ANNOTATION_KEYWORDS and kw not in (
-                    "title", "description", "default", "deprecated",
-                    "readOnly", "writeOnly", "examples", "format",
-                ):
-                    anns.append((kw, ipath, f"{spath}/{_esc(kw)}", value))
+                       "readOnly", "writeOnly", "examples")
+            if kw in schema
+        )
+        fmt_ann = (
+            ("format", schema["format"], f"{spath}/format")
+            if "format" in schema and not self.assert_formats
+            and not exclusive_ref_only else None
+        )
+        unknown_anns = () if exclusive_ref_only else tuple(
+            (kw, value, f"{spath}/{_esc(kw)}")
+            for kw, value in schema.items()
+            if kw not in _NON_ANNOTATION_KEYWORDS and kw not in (
+                "title", "description", "default", "deprecated",
+                "readOnly", "writeOnly", "examples", "format",
+            )
+        )
+        has_anns = bool(meta_anns or fmt_ann or unknown_anns)
 
-        return _Result(valid, errors or None, props or None, items or None, anns or None)
+        # ---- assemble the runner ----------------------------------------
+        common_t = tuple(common)
+        num_t = tuple(num_checks)
+        str_t = tuple(str_checks)
+        arr_t = tuple(arr_checks)
+        obj_t = tuple(obj_checks)
+        tail_t = tuple(tail)
+        track_eval_stack = bool(dialect.openapi)
+        eval_stack = self._eval_stack
+
+        def run(instance, ipath, scope) -> _Result:
+            if resource is not None and resource is not scope[-1]:
+                scope.append(resource)
+                pushed = True
+            else:
+                pushed = False
+            if track_eval_stack:
+                eval_stack.append(sid)
+            cell = None
+            if self._defaults is not None and self._not_depth == 0:
+                cell = [True]
+                self._defaults.stack.append(cell)
+            st = _St()
+            try:
+                for f in common_t:
+                    f(instance, ipath, scope, st)
+                if num_t and is_json_number(instance):
+                    for f in num_t:
+                        f(instance, ipath, scope, st)
+                elif str_t and isinstance(instance, str):
+                    for f in str_t:
+                        f(instance, ipath, scope, st)
+                elif arr_t and isinstance(instance, list):
+                    for f in arr_t:
+                        f(instance, ipath, scope, st)
+                elif obj_t and isinstance(instance, dict):
+                    for f in obj_t:
+                        f(instance, ipath, scope, st)
+                for f in tail_t:
+                    f(instance, ipath, scope, st)
+                if has_anns and self._collect_anns:
+                    anns = st.anns
+                    if anns is None:
+                        anns = st.anns = []
+                    for kw, value, sp in meta_anns:
+                        anns.append((kw, ipath, sp, value))
+                    if fmt_ann is not None:
+                        anns.append((fmt_ann[0], ipath, fmt_ann[2], fmt_ann[1]))
+                    for kw, value, sp in unknown_anns:
+                        anns.append((kw, ipath, sp, value))
+                if cell is not None:
+                    cell[0] = st.valid
+                return _Result(st.valid, st.errors or None, st.props or None,
+                               st.items or None, st.anns or None)
+            finally:
+                if cell is not None:
+                    self._defaults.stack.pop()
+                if track_eval_stack:
+                    eval_stack.pop()
+                if pushed:
+                    scope.pop()
+
+        return run
+
 
     # -- dynamic / recursive refs -----------------------------------------------
 

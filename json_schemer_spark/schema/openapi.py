@@ -119,9 +119,50 @@ class OpenAPISchema(CompiledSchema):
         return build
 
 
+_DOC_SCHEMERS: dict[int, CompiledSchema] = {}
+
+
+def _document_schemer(version: int) -> CompiledSchema:
+    """Validator FOR OpenAPI documents of the given version, compiled from
+    the embedded official document schemas (reference openapi.rb:10-15,
+    openapi{30,31}/document.rb). Formats assert (the reference's default).
+
+    Known divergence (documented): the reference additionally rebinds
+    embedded Schema objects to a document-declared ``jsonSchemaDialect``
+    meta-schema (openapi31/document.rb SCHEMA_BASE); here documents
+    validate against the PLAIN official schema."""
+    got = _DOC_SCHEMERS.get(version)
+    if got is None:
+        from json_schemer_spark.schema.dialects import DRAFT4, DRAFT202012
+        from json_schemer_spark.schema.metaschemas import METASCHEMAS
+        from json_schemer_spark.schema.oas_documents import (
+            OAS30_DOCUMENT_SCHEMA,
+            OAS31_DOCUMENT_SCHEMA,
+        )
+
+        def resolver(uri: str):
+            return METASCHEMAS.get(uri) or METASCHEMAS.get(uri.rstrip("#"))
+
+        if version == 30:
+            got = CompiledSchema(
+                OAS30_DOCUMENT_SCHEMA, dialect=DRAFT4, assert_formats=True,
+                base_uri="https://spec.openapis.org/oas/3.0/schema/2021-09-28",
+                ref_resolver=resolver,
+            )
+        else:
+            got = CompiledSchema(
+                OAS31_DOCUMENT_SCHEMA, dialect=DRAFT202012, assert_formats=True,
+                base_uri="https://spec.openapis.org/oas/3.1/schema/2022-10-07",
+                ref_resolver=resolver,
+            )
+        _DOC_SCHEMERS[version] = got
+    return got
+
+
 class OpenAPIDocument:
     """Compiled OpenAPI document — ``schema(name)`` / ``ref(pointer)`` return
-    validators (reference openapi31/document.rb surface)."""
+    validators; ``valid()`` / ``validate()`` self-validate the document
+    against the official OAS document schema (reference openapi.rb:22-28)."""
 
     def __init__(
         self,
@@ -142,6 +183,15 @@ class OpenAPIDocument:
             formats=formats, keywords=keywords,
         )
         self._cache: dict[str, OpenAPISchema] = {}
+
+    def valid(self) -> bool:
+        """Is the OpenAPI DOCUMENT itself valid? (reference OpenAPI#valid?)"""
+        return _document_schemer(self.dialect.openapi).valid_value(self.document)
+
+    def validate(self, output_format: str = "classic") -> Any:
+        """Document self-validation errors (reference OpenAPI#validate)."""
+        return _document_schemer(self.dialect.openapi).validate_value(
+            self.document, output_format=output_format)
 
     def schema(self, name: Optional[str] = None) -> OpenAPISchema:
         pointer = f"/components/schemas/{_esc(name)}" if name is not None else ""

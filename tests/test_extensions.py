@@ -77,8 +77,10 @@ def test_output_formats():
     assert classic[0]["keyword"] == "minimum"
     basic = plan.validate_value(1, "basic")
     assert basic["errors"][0]["instanceLocation"] == ""
+    # detailed collapses the single failing branch to the leaf unit
+    # (result.rb:142-144; see tests/test_output_tree.py for the full tree)
     detailed = plan.validate_value(1, "detailed")
-    assert {u["instanceLocation"] for u in detailed["errors"]} == {""}
+    assert detailed["keywordLocation"] == "/minimum" and "error" in detailed
     assert plan.validate_value(5, "classic") == []
 
 

@@ -286,3 +286,66 @@ def test_openapi_components_schema_lowers_without_discriminator(spark):
     out = s.validate_json_column(df, "content")
     assert [r.valid for r in out.select("valid").collect()] == [True, False, False, True]
     assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_openapi_document_self_validation():
+    """reference openapi.rb:22-28: document.valid()/validate() check the
+    DOCUMENT against the official OAS document schema."""
+    from json_schemer_spark import openapi
+
+    doc31 = {
+        "openapi": "3.1.0",
+        "info": {"title": "t", "version": "1"},
+        "components": {"schemas": {"Thing": {"type": "object"}}},
+    }
+    d = openapi(doc31)
+    assert d.valid()
+    assert d.validate() == []
+
+    # missing required `info`
+    bad = openapi({"openapi": "3.1.0"})
+    assert not bad.valid()
+    assert bad.validate()
+
+    # wrong-typed info.version
+    bad2 = openapi({"openapi": "3.1.0", "info": {"title": "t", "version": 3}})
+    assert not bad2.valid()
+
+    doc30 = {
+        "openapi": "3.0.3",
+        "info": {"title": "t", "version": "1"},
+        "paths": {},
+        "components": {"schemas": {"Thing": {"type": "object"}}},
+    }
+    d30 = openapi(doc30)
+    assert d30.valid(), d30.validate()[:2]
+    # 3.0 documents REQUIRE paths
+    assert not openapi({"openapi": "3.0.3", "info": {"title": "t", "version": "1"}}).valid()
+    # additional top-level properties are rejected (closed document schema)
+    assert not openapi({**doc30, "bogus": 1}).valid()
+
+
+def test_openapi30_schema_object_meta_validation():
+    """Round-2 ADVICE: valid_schema for OAS 3.0 must use the closed
+    Schema|Reference meta (openapi30/meta.rb), not just base draft4."""
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.schema.dialects import OPENAPI30, OPENAPI31
+
+    ok = compile_schema({"type": "object", "nullable": True}, dialect=OPENAPI30)
+    assert ok.valid_schema()
+    # `const` is not an OAS 3.0 schema-object field → rejected by the
+    # closed property set (the reference rejects it; base draft4 would not)
+    bad = compile_schema({"const": 5}, dialect=OPENAPI30)
+    assert not bad.valid_schema()
+    # Reference form is allowed
+    assert compile_schema({"$ref": "#/components/schemas/X"},
+                          dialect=OPENAPI30).valid_schema()
+
+    # 3.1: the dialect meta asserts the OAS base vocabulary — a
+    # discriminator missing propertyName is invalid
+    bad31 = compile_schema({"discriminator": {"mapping": {}}}, dialect=OPENAPI31)
+    assert not bad31.valid_schema()
+    ok31 = compile_schema(
+        {"oneOf": [{"$ref": "#/c"}], "discriminator": {"propertyName": "t"}},
+        dialect=OPENAPI31)
+    assert ok31.valid_schema()

@@ -1,0 +1,151 @@
+"""Verbose / detailed output trees (reference result.rb:136-160).
+
+Three nets:
+1. FULL-suite differential — the tree evaluator's root verdict must equal
+   the compiled flat evaluator's verdict on every conformance case.
+2. Structural validity — emitted verbose trees validate against the
+   suite's official output schema (output-tests/draft2020-12/output-schema
+   #/$defs/verbose), using this engine itself as the validator.
+3. Shape fixtures — hand-derived verbose/detailed shapes for the pruning
+   semantics (single-matching-child collapse, mismatched-branch drop).
+"""
+
+import json
+
+import pytest
+
+from json_schemer_spark import compile_schema
+from json_schemer_spark.schema.interpreter import Evaluator
+from json_schemer_spark.schema.output_tree import TreeEvaluator, detailed
+from json_schemer_spark.schema.suite import SUITE_ROOT, iter_cases, make_evaluator
+
+
+@pytest.mark.parametrize(
+    "draft", ["draft4", "draft6", "draft7", "draft2019-09", "draft2020-12"]
+)
+def test_tree_verdicts_match_flat_evaluator(draft):
+    eval_cache: dict[int, Evaluator] = {}
+    n = 0
+    for case in iter_cases(draft):
+        ev = eval_cache.get(id(case.schema))
+        if ev is None:
+            ev = eval_cache[id(case.schema)] = make_evaluator(case.schema, draft)
+        flat = ev.valid(case.data)
+        tree = TreeEvaluator(ev).tree(case.data)
+        assert tree["valid"] == flat == case.valid, (
+            f"{draft} {case.file} [{case.group}] {case.description}: "
+            f"tree={tree['valid']} flat={flat} expected={case.valid}"
+        )
+        n += 1
+    assert n > 500
+
+
+def _output_schema_plan():
+    with open(f"{SUITE_ROOT}/output-tests/draft2020-12/output-schema.json") as f:
+        doc = json.load(f)
+    return compile_schema({"$ref": "https://json-schema.org/draft/2020-12/output/schema#/$defs/verbose"},
+                          ref_resolver=lambda uri: doc if "output/schema" in uri else None)
+
+
+def test_verbose_trees_validate_against_official_output_schema():
+    checker = _output_schema_plan()
+    n_checked = 0
+    for case in iter_cases("draft2020-12"):
+        if case.file not in ("type.json", "required.json", "allOf.json",
+                             "anyOf.json", "oneOf.json", "ref.json",
+                             "unevaluatedProperties.json", "not.json"):
+            continue
+        ev = make_evaluator(case.schema, "draft2020-12")
+        tree = TreeEvaluator(ev).tree(case.data)
+        errs = checker.validate_value(tree)
+        assert not errs, (
+            f"{case.file} [{case.group}] {case.description}: "
+            f"{errs[:2]}\n{json.dumps(tree)[:400]}"
+        )
+        # the detailed projection must satisfy the output schema too
+        errs2 = checker.validate_value(detailed(tree))
+        assert not errs2, f"{case.file}: detailed failed output schema"
+        n_checked += 1
+    assert n_checked > 100
+
+
+def test_verbose_tree_shape():
+    plan = compile_schema({
+        "type": "object",
+        "properties": {"n": {"type": "integer", "minimum": 5}},
+    })
+    out = plan.validate_value({"n": 3}, output_format="verbose")
+    assert out["valid"] is False
+    assert out["keywordLocation"] == "" and out["instanceLocation"] == ""
+    units = out["errors"]  # invalid node → nested under "errors"
+    kws = [u["keywordLocation"] for u in units]
+    assert kws == ["/type", "/properties"]
+    type_u, props_u = units
+    assert type_u["valid"] is True  # it IS an object
+    assert props_u["valid"] is False
+    (child,) = props_u["errors"]
+    assert child["keywordLocation"] == "/properties/n"
+    assert child["instanceLocation"] == "/n"
+    assert child["absoluteKeywordLocation"].endswith("#/properties/n")
+    nested_kws = {u["keywordLocation"]: u for u in child["errors"]}
+    assert nested_kws["/properties/n/type"]["valid"] is True
+    assert nested_kws["/properties/n/minimum"]["valid"] is False
+    assert "error" in nested_kws["/properties/n/minimum"]
+
+    # valid instance → tree nests under "annotations", no "error" fields
+    ok = plan.validate_value({"n": 7}, output_format="verbose")
+    assert ok["valid"] is True
+    assert "errors" not in ok and "annotations" in ok
+
+
+def test_detailed_collapses_single_matching_child():
+    """result.rb:142-144: exactly one validity-matching nested result →
+    the node is REPLACED by that child's detailed output."""
+    plan = compile_schema({
+        "properties": {"a": {"properties": {"b": {"type": "integer"}}}},
+    })
+    out = plan.validate_value({"a": {"b": "x"}}, output_format="detailed")
+    # root → properties → /a → properties → /a/b → type: every level has
+    # exactly one failing child, so detailed collapses to the leaf
+    assert out["valid"] is False
+    assert out["keywordLocation"] == "/properties/a/properties/b/type"
+    assert out["instanceLocation"] == "/a/b"
+    assert "errors" not in out and "error" in out
+
+
+def test_detailed_keeps_multiple_matching_children():
+    plan = compile_schema({
+        "type": "object",
+        "required": ["x"],
+        "properties": {"n": {"type": "integer"}},
+    })
+    out = plan.validate_value({"n": "s"}, output_format="detailed")
+    assert out["valid"] is False
+    kws = sorted(u["keywordLocation"] for u in out["errors"])
+    # two independent failures survive as siblings; each collapsed to its leaf
+    assert kws == ["/properties/n/type", "/required"]
+
+
+def test_detailed_through_ref_keeps_dynamic_location():
+    plan = compile_schema({
+        "$ref": "#/$defs/pos",
+        "$defs": {"pos": {"type": "integer", "minimum": 1}},
+    })
+    out = plan.validate_value(0, output_format="detailed")
+    assert out["valid"] is False
+    # dynamic path goes through /$ref; absolute location is the lexical one
+    assert out["keywordLocation"] == "/$ref/minimum"
+    assert out["absoluteKeywordLocation"].endswith("#/$defs/pos/minimum")
+
+
+def test_verbose_exclusive_ref_drafts():
+    from json_schemer_spark import DRAFT7
+
+    plan = compile_schema(
+        {"$ref": "#/definitions/t", "definitions": {"t": {"type": "string"}}},
+        dialect=DRAFT7,
+    )
+    out = plan.validate_value(1, output_format="verbose")
+    assert out["valid"] is False
+    (ref_u,) = out["errors"]
+    assert ref_u["keywordLocation"] == "/$ref"
