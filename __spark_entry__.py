@@ -384,6 +384,21 @@ def q27_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(approx, exact, k=10).select("query_id", "n_hits", "recall")
 
 
+def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the brief's fifth dedup mode).
+
+    Exact-threshold semantics here (oracled against DuckDB's
+    list_cosine_similarity); the synthetic embeddings are near-isotropic
+    (max pair cosine ≈ 0.51), so the threshold sits at the top of the real
+    distribution to exercise the operator. The scale path is
+    neardup_pairs_lsh (SRP buckets + exact verify, skew-safe pairing) —
+    recall-graded on clustered data in tests/test_operators.py."""
+    from json_schemer_spark.operators.similarity import neardup_pairs_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs_exact(emb, threshold=0.42).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -414,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_media_features": q26_media_features,
         "q27_ann_lsh_recall": q27_ann_lsh_recall,
         "q28_bpe_token_stats": q28_bpe_token_stats,
+        "q29_embedding_neardup": q29_embedding_neardup,
     }
 
 
@@ -745,5 +761,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'unknown' END AS detected_lang,
                    COUNT(*) AS n
             FROM b GROUP BY 1
+        """,
+        "q29_embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+            ORDER BY id_a, id_b
         """,
     }

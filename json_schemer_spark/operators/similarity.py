@@ -180,6 +180,86 @@ def lsh_topk(
     )
 
 
+def neardup_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact semantics:
+    (id_a, id_b) with id_a < id_b and cosine >= threshold.
+
+    O(n²) comparisons (non-equi self-join → BroadcastNestedLoopJoin when
+    one side fits in memory) — this is the correctness BASELINE and the
+    oracle target only. At corpus scale use :func:`neardup_pairs_lsh`,
+    which buckets by signed random projection first.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: SRP-LSH candidate buckets
+    (OR-construction over ``n_tables`` independently-seeded tables) + exact
+    cosine verification of candidates only — the cross product never forms.
+
+    Plan: one projection computes all table signatures, posexplode to
+    (table, signature) rows, skew-safe windowed in-bucket pairing
+    (:func:`~json_schemer_spark.operators.dedup._bucket_pair_rows` — spills,
+    never materializes a bucket array), pair-distinct, then two joins attach
+    the vectors for the exact cosine filter.
+
+    Pair recall for similarity s = cos θ is 1-(1-(1-θ/π)^p)^L; SRP buckets
+    only concentrate genuinely close vectors, so this is a HIGH-threshold
+    operator (θ small). At the near-dup design point s ≥ 0.95 (θ ≤ 18°),
+    p=12/L=8 gives ≈ 0.93 pair recall; identical vectors always collide.
+    For loose thresholds (s ≲ 0.7) recall collapses — use the exact
+    baseline or top-k reranking instead.
+    """
+    from json_schemer_spark.operators.dedup import _bucket_pair_rows
+
+    sigs = [
+        srp_signature(F.col(vec_col), dim, n_planes, seed=f"jss-srp-v1:t{t}")
+        for t in range(n_tables)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("__m"),
+        F.posexplode(F.array(*sigs)).alias("__tbl", "__sig"),
+    )
+    cand = (
+        _bucket_pair_rows(banded, ["__tbl", "__sig"])
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cos >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
 def ann_recall(
     approx: DataFrame, exact: DataFrame, k: int = 10
 ) -> DataFrame:

@@ -203,6 +203,64 @@ def test_lsh_topk_hostile_recall_target(spark):
     assert rec >= 0.85, f"hostile recall {rec}"
 
 
+def test_embedding_neardup_lsh_recall(spark):
+    """neardup_pairs_lsh recovers the exact-threshold pair set with high
+    recall on data that HAS near-dups (clustered, cosine >= 0.95), and
+    never emits a false positive (every candidate is exact-verified)."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.similarity import (
+        neardup_pairs_exact,
+        neardup_pairs_lsh,
+    )
+
+    def h(seed, i, d):
+        v = 2166136261
+        for ch in f"{seed}:{i}:{d}".encode():
+            v = ((v ^ ch) * 16777619) & 0xFFFFFFFF
+        return (v / 0xFFFFFFFF) * 2.0 - 1.0
+
+    # 30 clusters of 6 near-identical vectors (tiny noise) + 120 isotropic
+    # singletons: near-dup pairs exist only inside clusters
+    dim, rows = 16, []
+    for c in range(30):
+        center = [h("c", c, d) for d in range(dim)]
+        for j in range(6):
+            vec = [center[d] + 0.01 * h("n", c * 10 + j, d) for d in range(dim)]
+            rows.append((c * 6 + j, [float(x) for x in vec]))
+    for i in range(120):
+        rows.append((1000 + i, [float(h("iso", i, d)) for d in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r.id_a, r.id_b) for r in neardup_pairs_exact(emb, 0.95).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_lsh(emb, dim, 0.95, n_planes=12, n_tables=8).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert approx <= exact, "LSH path emitted a non-verified pair"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"near-dup pair recall {recall}"
+
+
+def test_embedding_neardup_identical_vectors_always_found(spark):
+    """Identical vectors collide in every SRP table — recall 1.0 by
+    construction, even at one table."""
+    from json_schemer_spark.operators.similarity import neardup_pairs_lsh
+
+    vec = [float(i % 7 - 3) for i in range(8)]
+    other = [float((i * 3) % 5 - 2) for i in range(8)]
+    emb = spark.createDataFrame(
+        [(1, vec), (2, vec), (3, vec), (4, other)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_lsh(emb, 8, 0.999, n_planes=8, n_tables=1).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_dedup_bucket_star_pairs_preserve_connectivity(spark):
     """Oversize buckets emit star pairs instead of silently dropping ids:
     a 120-identical-doc cluster stays fully connected through the head."""
