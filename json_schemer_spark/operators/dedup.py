@@ -264,22 +264,29 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(text, n_bits: int = 64):
-    """64-bit SimHash over whitespace tokens — all JVM, packed accumulator.
+    """64-bit SimHash over whitespace tokens — all JVM, SWAR accumulator.
 
-    Higher-order-function lambdas evaluate interpreted (outside whole-stage
-    codegen), so per-token expression count is the cost driver. Instead of
-    a 64-long counter vector updated per token (~450 interpreted evals per
-    token: 64 bit-extracts, ±1 mapping, 64-wide array build, 64 adds), bits
-    are accumulated into 8 longs × 8 lanes of 8 bits: per token, per long,
-    the 8 lane contributions are a single-shift-and-mask each, OR-combined,
-    one add — ~140 evals per token, measured ~2.5-3x faster, and the
-    generated code shrinks the multi-MiB task binaries the old form
-    produced. Tokens are folded in blocks of 127 so an 8-bit lane can never
-    overflow (max count 127 < 256 — no cross-lane carry); block counters
-    are unpacked and added into the full-width per-bit totals, so there is
-    NO document-length cap and the output is bit-identical to the unpacked
-    form: bit b of the result is set iff 2·count_b(set) > n_tokens, i.e.
-    the ±1 counter is strictly positive.
+    Measured 2.2x faster than the naive 64-long counter fold (sf0.1
+    documents, min-of-4: 1.5 s vs 3.3 s) and the generated code shrinks
+    the multi-MiB task binaries the unrolled form produced. Three ideas:
+
+    1. SWAR bit-spread: per token, byte i of the hash expands to 8
+       one-valued 8-bit lanes in ~7 integer ops (broadcast multiply +
+       diagonal mask + byte-nonzero normalization) instead of 8 separate
+       shift/mask/or chains — HOF lambdas evaluate interpreted, so
+       expression count per token matters.
+    2. Blocked lanes: tokens fold in blocks of 127 so an 8-bit lane can
+       never overflow (max count 127 < 256, no cross-lane carry); block
+       counters unpack-add into full-width per-bit totals — NO
+       document-length cap.
+    3. Bound reassembly: the final 64 threshold tests run inside an
+       aggregate over a single-element array binding (counters, n) —
+       expression-tree references have no CSE outside codegen, so naming
+       the values once avoids re-evaluating pipeline chunks per bit
+       (this alone was the bulk of the win).
+
+    Output is bit-identical to the naive form: bit b is set iff
+    2*count_b(set) > n_tokens, i.e. the +-1 counter is strictly positive.
     """
     assert n_bits == 64, "packed accumulator is specialized to 64-bit signatures"
     tokens = F.split(F.trim(F.lower(text)), r"\s+")
@@ -288,27 +295,40 @@ def simhash(text, n_bits: int = 64):
 
     zero8 = F.array_repeat(F.lit(0).cast("long"), 8)
 
+    # SWAR bit-spread: byte i of h → 8 one-valued 8-bit lanes in 5 int ops
+    # (vs 8 shift+AND+OR per bit): broadcast the byte to all 8 byte lanes
+    # with a 0x0101..01 multiply (no carries — operands are byte-disjoint),
+    # keep bit k in byte k via the diagonal mask, then normalize each byte
+    # to 0/1 with the no-carry byte-nonzero trick (y_k ≤ 0x80, so +0x7F
+    # never carries across a byte; arithmetic sign-extension from the >>7
+    # is erased by the final & 0x0101..01).
+    BCAST = 0x0101010101010101
+    # broadcast multiplier for byte lanes 0-6 only: b * 0x0101..01 would
+    # need wrapping 64-bit semantics, but ANSI long multiply THROWS on
+    # overflow (b ≥ 0x80 puts b<<56 past 2^63); lane 7 goes via shiftleft,
+    # which wraps silently by contract
+    BCAST7 = 0x0001010101010101
+    DIAG = 0x8040201008040201 - (1 << 64)  # signed-long bit pattern
+    SEVENF = 0x7F7F7F7F7F7F7F7F
+
     def fold8(acc, h):
         longs = []
         for i in range(8):
-            term = None
-            for j in range(8):
-                # bit (8i+j) of h, placed at lane offset 8j: one net shift
-                # (arithmetic sign-extension is masked away) + one AND
-                s = 8 * i + j - 8 * j
-                mask = F.lit(1 << (8 * j)).cast("long")
-                t = (
-                    F.shiftright(h, s).bitwiseAND(mask)
-                    if s >= 0
-                    else F.shiftleft(h, -s).bitwiseAND(mask)
-                )
-                term = t if term is None else term.bitwiseOR(t)
-            longs.append(term)
+            b = (F.shiftright(h, 8 * i) if i else h).bitwiseAND(F.lit(0xFF).cast("long"))
+            m = (b * F.lit(BCAST7)).bitwiseOR(F.shiftleft(b, 56))
+            y = m.bitwiseAND(F.lit(DIAG))
+            ones = (
+                F.shiftright(y.bitwiseOR(y + F.lit(SEVENF)), 7)
+                .bitwiseAND(F.lit(BCAST))
+            )
+            longs.append(ones)
         return F.zip_with(acc, F.array(*longs), lambda x, y: x + y)
 
-    n_blocks = F.greatest(
-        F.ceil(F.size(hashes) / F.lit(blk)).cast("int"), F.lit(1)
-    )
+    # count via `tokens`, NOT `hashes`: interpreted HOF evaluation has no
+    # common-subexpression reuse, so each reference to `hashes` re-runs the
+    # whole per-token xxhash64 transform (measured +~1s/5k docs per ref)
+    n_tokens = F.size(tokens)
+    n_blocks = F.greatest(F.ceil(n_tokens / F.lit(blk)).cast("int"), F.lit(1))
     blocks = F.transform(
         F.sequence(F.lit(0), n_blocks - 1),
         lambda b: F.aggregate(F.slice(hashes, b * blk + 1, blk), zero8, fold8),
@@ -327,16 +347,33 @@ def simhash(text, n_bits: int = 64):
         return F.zip_with(acc, per_bit, lambda x, y: x + y)
 
     counters = F.aggregate(blocks, zero64, unpack_add)  # per-bit set counts
-    n = F.size(hashes)
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out.bitwiseOR(
-            F.when(
-                F.element_at(counters, b + 1) * 2 > n,
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+
+    # Reassembly referencing `counters` 64 times re-evaluates chunks of the
+    # whole pipeline per reference (no CSE outside codegen — measured 2.2x
+    # slower). Binding (counters, n) once as a single array element makes
+    # every lambda-variable access O(1) on the materialized values.
+    from functools import reduce
+
+    pows = [(1 << b) if b < 63 else (1 << 63) - (1 << 64) for b in range(64)]
+    bound = F.array(
+        F.struct(counters.alias("c"), n_tokens.cast("long").alias("n"))
+    )
+    return F.aggregate(
+        bound,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc.bitwiseOR(
+            reduce(
+                lambda a, b2: a.bitwiseOR(b2),
+                [
+                    F.when(
+                        F.element_at(s["c"], b + 1) * 2 > s["n"],
+                        F.lit(pows[b]).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for b in range(64)
+                ],
+            )
+        ),
+    )
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
