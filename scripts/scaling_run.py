@@ -60,8 +60,10 @@ def run_once():
         .agg(F.count(F.lit(1)).alias("files"), F.sum((~F.col("valid")).cast("long")).alias("failed"))
         .write.format("noop").mode("overwrite").save())
     return time.time() - t0
-run_once()  # identical-job warmup: codegen compile excluded from timing
-sec = min(run_once() for _ in range(2))
+run_once(); run_once()  # 2 warmups: C2 needs several full passes over the
+# large generated method before the hot loops are compiled (measured: runs
+# 1-3 of a fresh JVM are 2-5x slower; see bench.py docstring)
+sec = min(run_once() for _ in range(3))
 print(json.dumps({"n_exec": n_exec, "sec": round(sec, 3)}))
 spark.stop()
 """
