@@ -137,22 +137,37 @@ def minhash_signature(text, k: int = 5, num_hashes: int = 64):
     positive = F.transform(base, lambda h: F.pmod(h, F.lit(_MERSENNE)))
 
     # ONE pass over the shingle set: per shingle, produce all K permuted
-    # hashes at once (zip_with over constant coefficient arrays), fold with
+    # hashes at once (zip_with over the coefficient arrays), fold with
     # element-wise least. 64 separate array_min(transform(...)) passes were
     # measured ~15x slower (each re-walks the shingle array interpreted).
+    # The coefficient arrays ride INSIDE the accumulator struct: HOF
+    # evaluation has no CSE, so referencing the array-literal expressions
+    # from the lambda would rebuild them (128 literal casts + 2 allocs) per
+    # shingle — as bound accumulator fields they are built once and carried
+    # by reference (measured ~2x on the signature projection).
     a_arr = F.array(
         *[F.lit((2 * _stable_int(f"a{i}") + 1) % _MERSENNE).cast("long") for i in range(num_hashes)]
     )
     b_arr = F.array(
         *[F.lit(_stable_int(f"b{i}") % _MERSENNE).cast("long") for i in range(num_hashes)]
     )
-    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    init = F.struct(
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes).alias("m"),
+        a_arr.alias("a"),
+        b_arr.alias("b"),
+    )
 
     def fold(acc, h):
-        permuted = F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(h * a + b, F.lit(_MERSENNE)))
-        return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
+        permuted = F.zip_with(
+            acc["a"], acc["b"], lambda a, b: F.pmod(h * a + b, F.lit(_MERSENNE))
+        )
+        return F.struct(
+            F.zip_with(acc["m"], permuted, lambda x, y: F.least(x, y)).alias("m"),
+            acc["a"].alias("a"),
+            acc["b"].alias("b"),
+        )
 
-    return F.aggregate(positive, init, fold)
+    return F.aggregate(positive, init, fold, lambda acc: acc["m"])
 
 
 def _stable_int(seed: str) -> int:

@@ -45,19 +45,27 @@ def brute_force_topk(
 
     ``queries`` must be small (broadcast). The corpus is scanned once; the
     only shuffle is the per-query top-k (rank window partitioned by query —
-    tiny, #queries × k rows after partial sort).
+    tiny, #queries × k rows after partial sort). Norms are projected once
+    per ROW before the join — recomputing them per pair triples the HOF
+    work inside the O(n·q) join.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             (_dot(F.col("__qvec"), F.col("__cvec"))
-             / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))).alias("cosine"),
+             / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -131,6 +139,7 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
         *[sig(F.col(vec_col)).alias(f"__sig{t}") for t, sig in tables],
     )
     # per table: the base signature plus Hamming-≤probes neighbours
@@ -144,11 +153,15 @@ def lsh_topk(
             F.struct(F.lit(t).alias("tbl"), s.alias("sig")) for s in sigs
         ]
     q = q.select(
-        "query_id", "__qvec", F.explode(F.array(*probe_entries)).alias("pe")
-    ).select("query_id", "__qvec", F.col("pe.tbl").alias("__tbl"), F.col("pe.sig").alias("__sig"))
+        "query_id", "__qvec", "__qnorm", F.explode(F.array(*probe_entries)).alias("pe")
+    ).select(
+        "query_id", "__qvec", "__qnorm",
+        F.col("pe.tbl").alias("__tbl"), F.col("pe.sig").alias("__sig"),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cnorm"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(t).alias("tbl"), sig(F.col(vec_col)).alias("sig"))
@@ -156,7 +169,7 @@ def lsh_topk(
             ])
         ).alias("ce"),
     ).select(
-        "neighbor_id", "__cvec",
+        "neighbor_id", "__cvec", "__cnorm",
         F.col("ce.tbl").alias("__tbl"), F.col("ce.sig").alias("__sig"),
     )
     scored = (
@@ -164,12 +177,17 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a (query, neighbor) pair can match through several probes
         .groupBy("query_id", "neighbor_id")
-        .agg(F.first("__qvec").alias("__qvec"), F.first("__cvec").alias("__cvec"))
+        .agg(
+            F.first("__qvec").alias("__qvec"),
+            F.first("__cvec").alias("__cvec"),
+            F.first("__qnorm").alias("__qnorm"),
+            F.first("__cnorm").alias("__cnorm"),
+        )
         .select(
             "query_id",
             "neighbor_id",
             (_dot(F.col("__qvec"), F.col("__cvec"))
-             / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))).alias("cosine"),
+             / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -194,11 +212,15 @@ def neardup_pairs_exact(
     oracle target only. At corpus scale use :func:`neardup_pairs_lsh`,
     which buckets by signed random projection first.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .filter(cos >= F.lit(threshold))
@@ -247,11 +269,15 @@ def neardup_pairs_lsh(
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
