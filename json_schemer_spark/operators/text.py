@@ -45,9 +45,15 @@ def bpe_token_count(text):
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Adds n_chars_measured, n_tokens, avg_token_len, punct_ratio,
-    stopword_ratio, upper_ratio — the classic cheap quality signals."""
+    stopword_ratio, upper_ratio — the classic cheap quality signals.
+
+    Tokens are staged as a named column first: interpreted HOF evaluation
+    has no CSE, so every expression-tree reference to ``tokens(text)``
+    would re-run split+filter per row (multi-referenced non-cheap aliases
+    block CollapseProject, keeping the staging projection intact)."""
     text = F.col(text_col)
-    toks = tokens(text)
+    df = df.withColumn("__toks", tokens(text))
+    toks = F.col("__toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
@@ -66,7 +72,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0),
             "upper_ratio": F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0),
         }
-    )
+    ).drop("__toks")
 
 
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
@@ -85,9 +91,12 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-profile language guess → adds detected_lang, lang_score.
 
     Per language: count profile-word occurrences among tokens; argmax via
-    a sorted array of (score, lang) structs. All JVM-side.
+    a sorted array of (score, lang) structs. All JVM-side. Tokens are
+    staged as a column — the per-language filters would otherwise re-run
+    the tokenizer once per profile per row (no CSE in HOF evaluation).
     """
-    toks = tokens(F.col(text_col))
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    toks = F.col("__toks")
     scored = []
     for lang, words in _LANG_PROFILES.items():
         prof = F.array(*[F.lit(w) for w in words])
@@ -102,21 +111,20 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
                 n_tokens > 0, best["score"].cast("double") / n_tokens
             ).otherwise(0.0),
         }
-    )
+    ).drop("__toks")
 
 
-def fingerprint(text, k: int = 8, keep_mod: int = 8):
-    """Winnowing-style document fingerprint (bigint).
-
-    k-char shingle hashes → deterministic mod-sampling (h % keep_mod == 0)
-    → order-independent combine. Robust to small edits that leave most
-    shingles intact; one projection, no shuffle.
-    """
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+def _shingle_hashes_of_norm(norm, k: int):
+    """Char-shingle hashes of a STAGED normalized-text column reference
+    (``norm`` inside the per-index lambda must be an O(1) column read —
+    an embedded regexp_replace expression would re-run per shingle)."""
     n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    hashes = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
     )
+
+
+def _combine_fingerprint(hashes, keep_mod: int):
     sampled = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
     # fall back to all hashes for very short docs with no sampled shingles
     chosen = F.when(F.size(sampled) > 0, sampled).otherwise(hashes)
@@ -127,7 +135,30 @@ def fingerprint(text, k: int = 8, keep_mod: int = 8):
     )
 
 
-def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
-    return df.select(
-        F.col(id_col), fingerprint(F.col(text_col), k=k).alias("fingerprint")
+def fingerprint(text, k: int = 8, keep_mod: int = 8):
+    """Winnowing-style document fingerprint (bigint).
+
+    k-char shingle hashes → deterministic mod-sampling (h % keep_mod == 0)
+    → order-independent combine. Robust to small edits that leave most
+    shingles intact; one projection, no shuffle. Single-Column convenience
+    form — prefer :func:`fingerprints`, which stages the normalized text
+    and the hash array as columns (each expression-tree reference
+    re-evaluates under interpreted HOFs)."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return _combine_fingerprint(_shingle_hashes_of_norm(norm, k), keep_mod)
+
+
+def fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, keep_mod: int = 8
+) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("__norm"),
+        )
+        .select(F.col(id_col), _shingle_hashes_of_norm(F.col("__norm"), k).alias("__h"))
+        .select(
+            F.col(id_col),
+            _combine_fingerprint(F.col("__h"), keep_mod).alias("fingerprint"),
+        )
     )
