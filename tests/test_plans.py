@@ -59,6 +59,45 @@ def test_exact_dedup_single_shuffle(spark):
     assert p.count("Exchange") == 1, p[:800]
 
 
+def test_minhash_signature_computed_once(spark):
+    """The staged tokens/signature projections must survive optimization:
+    exactly ONE signature fold in the banded plan — CollapseProject
+    re-inlining it into the 16 band slices would re-run it per band."""
+    from json_schemer_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(minhash_lsh_candidates(docs, "text", "doc_id"))
+    assert p.count("aggregate(") == 1, p[:1200]
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_neardup_lsh_no_cross_product(spark):
+    """The LSH near-dup path must stay an equi-join on (table, signature):
+    no CartesianProduct / BroadcastNestedLoopJoin, no Python workers."""
+    from json_schemer_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(neardup_pairs_lsh(emb, dim=64, threshold=0.95))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p[:1200]
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_violations_gated_on_verdict(spark):
+    """Valid rows short-circuit violations construction: the violations
+    expression is a CASE on the verdict whose THEN branch is the empty
+    array (checked on the analyzed plan — codegen elides the whole
+    struct/concat pipeline for passing rows)."""
+    from json_schemer_spark import compile_schema
+
+    plan = compile_schema({"type": "object", "required": ["a"]})
+    df = spark.createDataFrame([('{"a":1}',)], "content string")
+    out = plan.validate_json_column(df, "content")
+    expr = out.schema["violations"].name and str(
+        out._jdf.queryExecution().analyzed()
+    )
+    assert "CASE WHEN" in expr and "array()" in expr, expr[:1200]
+
+
 def test_prefilter_lands_in_scan(spark):
     """validate_json_column(prefilter=...) applies the filter BELOW the
     pushdown barrier so it reaches the parquet scan (VERDICT r2 ask #9)."""
