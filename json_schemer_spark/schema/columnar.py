@@ -139,15 +139,22 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
     if not isinstance(schema, (dict, bool)):
         raise Unsupported("non-dict schema")
 
+    # Which keywords force a fallback when they appear on a NESTED node?
+    # Without a registry the pointer-only resolver cannot follow base-URI
+    # rebinding or anchors at all. WITH a registry, nested $id/$anchor —
+    # and $dynamicAnchor/$recursiveAnchor too — resolve statically; the
+    # anchors' *dynamic* behavior only materializes through
+    # $dynamicRef/$recursiveRef, which _check rejects wherever they
+    # survive inlining, so inert anchors are safe to inline past.
     rebinding = set()
     if registry is None:
         rebinding.add(dialect.id_keyword)
         if dialect.has_dollar_anchor:
             rebinding.add("$anchor")
-    if dialect.has_dynamic_ref:
-        rebinding.add("$dynamicAnchor")
-    if dialect.has_recursive_ref:
-        rebinding.add("$recursiveAnchor")
+        if dialect.has_dynamic_ref:
+            rebinding.add("$dynamicAnchor")
+        if dialect.has_recursive_ref:
+            rebinding.add("$recursiveAnchor")
 
     from json_schemer_spark.schema.dialects import (
         DEPENDENCIES,
@@ -310,6 +317,20 @@ def _check_num_literal(x) -> None:
         )
 
 
+def _as_count(v) -> Any:
+    """Count-keyword value (maxLength, minItems, …) as an int, or None if
+    invalid. Draft6+ defines `integer` as any number with zero fraction,
+    so ``maxLength: 2.0`` is a valid schema — the reference (and our
+    interpreter) applies it numerically on every draft."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    if not isinstance(v, int) or v < 0:
+        return None
+    return v
+
+
 def lowerable(schema: Any, dialect: Dialect, registry: Any = None) -> bool:
     try:
         prepare(schema, dialect, registry=registry)
@@ -457,7 +478,7 @@ def _check(schema: Any, dialect: Dialect) -> None:
                 raise Unsupported("bad uniqueItems")
         elif kw in ("maxItems", "minItems", "maxLength", "minLength",
                     "maxProperties", "minProperties", "maxContains", "minContains"):
-            if not isinstance(val, int) or isinstance(val, bool) or val < 0:
+            if _as_count(val) is None:
                 raise Unsupported(f"bad {kw}")
         elif kw in ("maximum", "minimum", "exclusiveMaximum", "exclusiveMinimum"):
             # numeric-or-ignored; draft4 boolean forms handled in lowering
@@ -857,7 +878,7 @@ def _check_string_pred(schema: Any, dialect: Dialect) -> None:
         if kw == "pattern":
             _java_pattern(val)
         elif kw in ("maxLength", "minLength"):
-            if not isinstance(val, int) or isinstance(val, bool) or val < 0:
+            if _as_count(val) is None:
                 raise Unsupported(f"bad {kw}")
         elif kw == "enum":
             if not isinstance(val, list):
@@ -898,10 +919,10 @@ def _string_pred(schema: Any, dialect: Dialect):
         else:
             parts.append(lambda k: F.lit(False))
     if "maxLength" in schema:
-        m = schema["maxLength"]
+        m = _as_count(schema["maxLength"])
         parts.append(lambda k, m=m: F.length(k) <= m)
     if "minLength" in schema:
-        m = schema["minLength"]
+        m = _as_count(schema["minLength"])
         parts.append(lambda k, m=m: F.length(k) >= m)
     if "pattern" in schema:
         jp = _java_pattern(schema["pattern"])
@@ -1238,11 +1259,11 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                 "format", f"not a valid {fmt}"))
 
         if "maxLength" in schema:
-            k = schema["maxLength"]
+            k = _as_count(schema["maxLength"])
             checks.append(lambda get, ipath, k=k: (
                 F.coalesce(F.length(gated_str(get)) > k, F.lit(False)), "maxLength", f"length > {k}"))
         if "minLength" in schema:
-            k = schema["minLength"]
+            k = _as_count(schema["minLength"])
             checks.append(lambda get, ipath, k=k: (
                 F.coalesce(F.length(gated_str(get)) < k, F.lit(False)), "minLength", f"length < {k}"))
         if "pattern" in schema:
@@ -1254,11 +1275,11 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
 
     # --- arrays -----------------------------------------------------------------
     if "maxItems" in schema:
-        k = schema["maxItems"]
+        k = _as_count(schema["maxItems"])
         checks.append(lambda get, ipath, k=k: (
             F.coalesce(F.size(get(arrkey)) > k, F.lit(False)), "maxItems", f"more than {k} items"))
     if "minItems" in schema:
-        k = schema["minItems"]
+        k = _as_count(schema["minItems"])
         checks.append(lambda get, ipath, k=k: (
             F.coalesce(F.size(get(arrkey)) < k, F.lit(False)), "minItems", f"fewer than {k} items"))
 
@@ -1329,10 +1350,10 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
 
     if dialect.has_contains and "contains" in schema:
         cpred = _lower_element(schema["contains"], dialect)
-        min_c = schema.get("minContains", 1) if dialect.has_min_max_contains else 1
+        min_c = _as_count(schema.get("minContains", 1)) if dialect.has_min_max_contains else 1
         if not isinstance(min_c, int) or isinstance(min_c, bool):
             min_c = 1
-        max_c = schema.get("maxContains") if dialect.has_min_max_contains else None
+        max_c = (_as_count(schema["maxContains"]) if "maxContains" in schema else None) if dialect.has_min_max_contains else None
         has_min_kw = dialect.has_min_max_contains and "minContains" in schema
 
         def contains_sub(get, ipath, cpred=cpred, min_c=min_c, max_c=max_c, has_min_kw=has_min_kw):
@@ -1354,12 +1375,12 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
 
     # --- objects --------------------------------------------------------------------
     if "maxProperties" in schema:
-        k = schema["maxProperties"]
+        k = _as_count(schema["maxProperties"])
         checks.append(lambda get, ipath, k=k: (
             F.coalesce(F.size(get(objkey)) > k, F.lit(False)),
             "maxProperties", f"more than {k} properties"))
     if "minProperties" in schema:
-        k = schema["minProperties"]
+        k = _as_count(schema["minProperties"])
         checks.append(lambda get, ipath, k=k: (
             F.coalesce(F.size(get(objkey)) < k, F.lit(False)),
             "minProperties", f"fewer than {k} properties"))
