@@ -367,18 +367,24 @@ def q28_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q27_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded ANN scale path (round-1 review): multi-table SRP-LSH top-k,
-    recall measured against the brute-force exact top-k. The synthetic
-    embeddings are near-isotropic (top-1 cosine ≈ 0.37 — LSH-hostile), so
-    the documented target is avg recall ≥ 0.9 at (p=4, L=16, probes=1);
-    see tests/test_operators.py for the clustered-data ≥ 0.95 case."""
+    recall measured against the brute-force exact top-k over a FIXED-SEED
+    query sample (round-3 review action #3: the exact baseline exists only
+    to grade recall, so at crawl scale it runs on a seeded sample — here 5
+    of the corpus via similarity.sample_queries — while the LSH path itself
+    is unchanged and runs on whatever query set the caller brings). The
+    synthetic embeddings are near-isotropic (top-1 cosine ≈ 0.37 —
+    LSH-hostile), so the documented target is avg recall ≥ 0.9 at
+    (p=4, L=16, probes=1); see tests/test_operators.py for the
+    clustered-data ≥ 0.95 case."""
     from json_schemer_spark.operators.similarity import (
         ann_recall,
         brute_force_topk,
         lsh_topk,
+        sample_queries,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
+    queries_df = sample_queries(emb, 5, seed=2026)
     exact = brute_force_topk(emb, queries_df, k=10)
     approx = lsh_topk(emb, queries_df, dim=64, k=10, n_planes=4, probes=1, n_tables=16)
     return ann_recall(approx, exact, k=10).select("query_id", "n_hits", "recall")

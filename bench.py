@@ -150,16 +150,27 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
+    # per-query min-of-N with recorded spread (round-3 review action #9):
+    # sub-second fixed-overhead queries drift ±25% under shared-host ambient
+    # load; the artifact now carries its own variance evidence so a
+    # driver-vs-local delta is self-diagnosing.
+    spread: dict[str, list[float]] = {}
+    per_query_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
     for name in headline:
-        t0 = time.time()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(per_query_repeats):
+            t0 = time.time()
+            materialize(qs[name](spark, SF_DIR))
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     result = {
         "metric": "files_validated_per_sec",
         "value": round(files_per_sec, 1),
         "unit": "rows/sec",
         "queries": timings,
+        "query_spread": spread,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
         "corpus_rows": n_rows,

@@ -491,61 +491,98 @@ def _check(schema: Any, dialect: Dialect) -> None:
         elif kw in ("unevaluatedProperties", "unevaluatedItems"):
             if dialect.has_unevaluated:
                 _check(val, dialect)
+                # run the contribution collector: raises Unsupported on
+                # pathological shapes (contribution explosion); the gated
+                # branch subschemas themselves are checked by the main walk
                 if kw == "unevaluatedProperties":
-                    _prop_coverage(schema, dialect, top=True)
+                    for _, _, pats, _ in _prop_contribs(schema, dialect, top=True):
+                        for p in pats:
+                            _java_pattern(p)
                 else:
-                    _item_coverage(schema, dialect, top=True)
+                    _item_contribs(schema, dialect, top=True)
         # "then"/"else" without "if", min/maxContains without contains,
         # additionalItems without array items: ignored like the interpreter
 
 
-# --- static annotation-coverage analysis for unevaluated* (SURVEY.md §2.6:
-# the "compile-time complement" fast path; data-dependent branch shapes fall
-# back to the interpreter) -----------------------------------------------------
+# --- annotation-coverage contributions for unevaluated* (SURVEY.md §2.6) ----
+#
+# The evaluated-name/-index set is the union of annotations from every
+# successfully-applied in-place subschema (reference semantics:
+# draft202012/vocab/unevaluated.rb:6-100 walks dynamically-valid adjacent
+# results). Contributions from the node itself and from allOf descendants
+# are statically certain (gates == ()); contributions under anyOf / oneOf /
+# if-then-else / dependentSchemas gate on branch VALIDITY, lowered at build
+# time to the branch's own validity Column at the SAME variant slot (all
+# in-place applicators share the location, so no new extraction is needed).
+# Gate kinds:
+#   ("valid", subschema)    — subschema valid against the instance here
+#   ("notvalid", subschema) — subschema invalid (the if/else arm)
+#   ("present", name)       — object property ``name`` present
+#                             (dependentSchemas / schema-form dependencies)
+# Gates compose by conjunction down the tree: a contribution nested two
+# branches deep requires BOTH branches valid, exactly as the reference drops
+# every annotation of an invalid result subtree.
 
-_DYNAMIC_FOR_UNEVAL = ("anyOf", "oneOf", "if", "dependentSchemas", "$ref",
-                       "$dynamicRef", "$recursiveRef", "not")
-
-
-def _no_dynamic_branches(schema: dict, dialect: Dialect) -> None:
-    for k in _DYNAMIC_FOR_UNEVAL:
-        if k in schema:
-            if k == "if" and not dialect.has_if_then_else:
-                continue
-            if k == "dependentSchemas" and not dialect.has_dependent_keywords:
-                continue
-            if k == "not":
-                continue  # `not` never contributes annotations (valid ⇢ sub failed)
-            raise Unsupported(f"unevaluated* with data-dependent {k}")
-    deps = schema.get("dependencies")
-    if dialect.has_legacy_dependencies and isinstance(deps, dict):
-        if any(not isinstance(v, list) for v in deps.values()):
-            raise Unsupported("unevaluated* with schema-form dependencies")
+_UNEVAL_MAX_CONTRIBS = 64
 
 
-def _prop_coverage(schema: Any, dialect: Dialect, top: bool = False):
-    """(names, patterns, all_eval) statically evaluated at this node."""
+def _contrib_branches(schema: dict, dialect: Dialect, gates: tuple, recurse) -> list:
+    """Shared gated-branch walk for the prop/item contribution collectors."""
+    out: list = []
+    for kw in ("anyOf", "oneOf"):
+        # oneOf: every VALID branch contributes (the reference walks all
+        # adjacent results; >1 valid fails the node, where coverage is moot)
+        for sub in schema.get(kw) or []:
+            out += recurse(sub, dialect, gates=gates + (("valid", sub),))
+    if dialect.has_if_then_else and "if" in schema:
+        if_s = schema["if"]
+        out += recurse(if_s, dialect, gates=gates + (("valid", if_s),))
+        if "then" in schema:
+            out += recurse(schema["then"], dialect,
+                           gates=gates + (("valid", if_s), ("valid", schema["then"])))
+        if "else" in schema:
+            out += recurse(schema["else"], dialect,
+                           gates=gates + (("notvalid", if_s), ("valid", schema["else"])))
+    dep_subs: dict = {}
+    if dialect.has_dependent_keywords and isinstance(schema.get("dependentSchemas"), dict):
+        dep_subs.update(schema["dependentSchemas"])
+    if dialect.has_legacy_dependencies and isinstance(schema.get("dependencies"), dict):
+        dep_subs.update({k: v for k, v in schema["dependencies"].items()
+                         if not isinstance(v, list)})
+    for key, sub in dep_subs.items():
+        out += recurse(sub, dialect, gates=gates + (("present", key), ("valid", sub)))
+    # `not` never contributes annotations (it is valid ⇢ its subschema FAILED)
+    if len(out) > _UNEVAL_MAX_CONTRIBS:
+        raise Unsupported("unevaluated* contribution explosion")
+    return out
+
+
+def _prop_contribs(schema: Any, dialect: Dialect, top: bool = False,
+                   gates: tuple = ()) -> list:
+    """Property-coverage contributions ``(gates, names, patterns, all_eval)``
+    dynamically evaluated at this location."""
     if schema is True or schema is False or not isinstance(schema, dict):
-        return set(), [], False
-    _no_dynamic_branches(schema, dialect)
-    names = set(schema.get("properties") or {})
-    patterns = list(schema.get("patternProperties") or {})
+        return []
+    names = frozenset(schema.get("properties") or {})
+    patterns = tuple(schema.get("patternProperties") or {})
     all_eval = "additionalProperties" in schema or (
         not top and "unevaluatedProperties" in schema
     )
+    out = [(gates, names, patterns, all_eval)] if (names or patterns or all_eval) else []
     for sub in schema.get("allOf") or []:
-        n, p, a = _prop_coverage(sub, dialect)
-        names |= n
-        patterns += p
-        all_eval = all_eval or a
-    return names, patterns, all_eval
+        out += _prop_contribs(sub, dialect, gates=gates)
+    out += _contrib_branches(schema, dialect, gates, _prop_contribs)
+    if len(out) > _UNEVAL_MAX_CONTRIBS:
+        raise Unsupported("unevaluated* contribution explosion")
+    return out
 
 
-def _item_coverage(schema: Any, dialect: Dialect, top: bool = False):
-    """(prefix_len, all_items, contains_subschemas) statically evaluated."""
+def _item_contribs(schema: Any, dialect: Dialect, top: bool = False,
+                   gates: tuple = ()) -> list:
+    """Item-coverage contributions ``(gates, prefix_len, all_items,
+    contains_subschemas)`` dynamically evaluated at this location."""
     if schema is True or schema is False or not isinstance(schema, dict):
-        return 0, False, []
-    _no_dynamic_branches(schema, dialect)
+        return []
     plen, allit, cpreds = 0, False, []
     it = schema.get("items")
     if dialect.has_prefix_items:
@@ -564,12 +601,13 @@ def _item_coverage(schema: Any, dialect: Dialect, top: bool = False):
         allit = True
     if dialect.has_contains and "contains" in schema:
         cpreds.append(schema["contains"])
+    out = [(gates, plen, allit, tuple(cpreds))] if (plen or allit or cpreds) else []
     for sub in schema.get("allOf") or []:
-        p, a, c = _item_coverage(sub, dialect)
-        plen = max(plen, p)
-        allit = allit or a
-        cpreds += c
-    return plen, allit, cpreds
+        out += _item_contribs(sub, dialect, gates=gates)
+    out += _contrib_branches(schema, dialect, gates, _item_contribs)
+    if len(out) > _UNEVAL_MAX_CONTRIBS:
+        raise Unsupported("unevaluated* contribution explosion")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1431,10 +1469,49 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
 
             subs.append(pp_sub)
 
-    def _complement_sub(kw_display: str, sub, sp: str, names: list, pats: list):
+    _uneval_gate_memo: dict = {}
+
+    def _gate_cond(gates: tuple):
+        """Lower a contribution's gate tuple (SURVEY.md §2.6) to a closure
+        ``(get, ipath) -> Column`` — the conjunction of branch-validity /
+        property-presence columns, all at this node's variant slot."""
+        fns = []
+        for kind, arg in gates:
+            if kind == "present":
+                fld = ctx.field(vkey, arg)
+                fns.append(lambda get, ipath, fld=fld:
+                           F.coalesce(get(fld).isNotNull(), F.lit(False)))
+            else:
+                mk = id(arg)
+                if mk not in _uneval_gate_memo:
+                    _uneval_gate_memo[mk] = _lower(
+                        arg, dialect, f"{spath}/(uneval-gate)", ctx, vkey)
+                em = _uneval_gate_memo[mk]
+                neg = kind == "notvalid"
+
+                def gfn(get, ipath, em=em, neg=neg):
+                    v = F.coalesce(em(get, ipath)[0], F.lit(False))
+                    return ~v if neg else v
+
+                fns.append(gfn)
+
+        def cond(get, ipath, fns=tuple(fns)):
+            col = None
+            for f in fns:
+                g = f(get, ipath)
+                col = g if col is None else (col & g)
+            return col if col is not None else F.lit(True)
+
+        return cond
+
+    def _complement_sub(kw_display: str, sub, sp: str, names: list, pats: list,
+                        dyn_contribs: tuple = ()):
         """additionalProperties / unevaluatedProperties: apply ``sub`` to
-        values whose key is NOT statically covered (compile-time complement,
-        SURVEY.md §2.6)."""
+        values whose key is NOT covered. Static coverage (``names``/``pats``)
+        is the compile-time complement; ``dyn_contribs`` are data-dependent
+        contributions ``(cond_fn, names, java_pats, all_eval)`` whose
+        coverage only counts on rows where the gating branch is valid
+        (SURVEY.md §2.6 general path)."""
         apred = _lower_element(sub, dialect)
         is_false = sub is False
         kwname = "schema" if is_false else kw_display
@@ -1442,12 +1519,27 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                else f"value does not match {kw_display} schema")
 
         def comp_sub(get, ipath, names=tuple(names), pats=tuple(pats)):
+            dyn = [(fn(get, ipath), dn, dp, ae) for fn, dn, dp, ae in dyn_contribs]
+            any_all = None
+            for gcol, _, _, ae in dyn:
+                if ae:
+                    any_all = gcol if any_all is None else (any_all | gcol)
+
             def covered(k):
                 c = F.lit(False)
                 if names:
                     c = c | k.isin(*names)
                 for p in pats:
                     c = c | k.rlike(p)
+                for gcol, dn, dp, _ in dyn:
+                    bc = None
+                    if dn:
+                        bc = k.isin(*sorted(dn))
+                    for p in dp:
+                        pc = k.rlike(p)
+                        bc = pc if bc is None else (bc | pc)
+                    if bc is not None:
+                        c = c | (gcol & bc)
                 return c
 
             extra = F.map_filter(get(objkey), lambda k, v: ~covered(k))
@@ -1463,6 +1555,9 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                 F.lit(sp).alias("schema_pointer"),
                 F.lit(msg).alias("message"),
             )))]
+            if any_all is not None:
+                ok = F.when(any_all, F.lit(True)).otherwise(ok)
+                fails = _gate(~F.coalesce(any_all, F.lit(False)), fails)
             return ok, fails
 
         return comp_sub
@@ -1475,34 +1570,83 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
             f"{spath}/additionalProperties", names, pats))
 
     if dialect.has_unevaluated and "unevaluatedProperties" in schema:
-        unames, upats, all_eval = _prop_coverage(schema, dialect, top=True)
+        unames: set = set()
+        upats: list = []
+        all_eval = False
+        pdyn = []
+        for g, nms, pats, ae in _prop_contribs(schema, dialect, top=True):
+            if not g:
+                unames |= nms
+                upats += list(pats)
+                all_eval = all_eval or ae
+            else:
+                pdyn.append((_gate_cond(g), frozenset(nms),
+                             tuple(_java_pattern(p) for p in pats), ae))
         if not all_eval:
             subs.append(_complement_sub(
                 "unevaluatedProperties", schema["unevaluatedProperties"],
                 f"{spath}/unevaluatedProperties",
-                list(unames), [_java_pattern(p) for p in upats]))
+                sorted(unames), [_java_pattern(p) for p in upats],
+                dyn_contribs=tuple(pdyn)))
 
     if dialect.has_unevaluated and "unevaluatedItems" in schema:
-        uplen, allit, cpreds = _item_coverage(schema, dialect, top=True)
+        uplen, allit = 0, False
+        cpreds: list = []
+        idyn_raw = []
+        for g, plen, ai, cps in _item_contribs(schema, dialect, top=True):
+            if not g:
+                uplen = max(uplen, plen)
+                allit = allit or ai
+                cpreds += list(cps)
+            else:
+                idyn_raw.append((g, plen, ai, cps))
         if not allit:
             upred = _lower_element(schema["unevaluatedItems"], dialect)
             cfns = [_lower_element(c, dialect) for c in cpreds]
+            # gated contributions: relative prefix beyond the static slice,
+            # row-level all-items gates, gated contains predicates
+            idyn = []
+            for g, plen, ai, cps in idyn_raw:
+                rplen = max(plen - uplen, 0)
+                if not rplen and not ai and not cps:
+                    continue
+                idyn.append((_gate_cond(g), rplen, ai,
+                             tuple(_lower_element(c, dialect) for c in cps)))
             ukw = "schema" if schema["unevaluatedItems"] is False else "unevaluatedItems"
             usp = f"{spath}/unevaluatedItems"
 
-            def ui_sub(get, ipath, uplen=uplen, upred=upred, cfns=tuple(cfns), ukw=ukw, usp=usp):
+            def ui_sub(get, ipath, uplen=uplen, upred=upred, cfns=tuple(cfns),
+                       idyn=tuple(idyn), ukw=ukw, usp=usp):
                 arr = get(arrkey)
                 rest = F.slice(arr, F.lit(uplen + 1), F.greatest(F.size(arr) - F.lit(uplen), F.lit(0)))
+                dyn = [(fn(get, ipath), rplen, ai, cfs) for fn, rplen, ai, cfs in idyn]
+                any_allit = None
+                for gcol, _, ai, _ in dyn:
+                    if ai:
+                        any_allit = gcol if any_allit is None else (any_allit | gcol)
 
-                def elem_ok(x):
+                def elem_ok(x, i):
                     c = F.coalesce(upred(x), F.lit(True))
                     for cf in cfns:  # items matched by `contains` are evaluated
                         c = c | F.coalesce(cf(x), F.lit(False))
+                    for gcol, rplen, ai, cfs in dyn:
+                        cov = None
+                        if rplen:  # i is 0-based within the static-sliced rest
+                            cov = i < F.lit(rplen)
+                        for cf in cfs:
+                            cc = F.coalesce(cf(x), F.lit(False))
+                            cov = cc if cov is None else (cov | cc)
+                        if cov is not None:
+                            c = c | (gcol & cov)
                     return c
 
-                ok = F.coalesce(F.forall(rest, elem_ok), F.lit(True))
+                if dyn:
+                    ok_inner = F.size(F.filter(rest, lambda x, i: ~elem_ok(x, i))) == 0
+                else:  # static-only: keep the cheaper arity-1 forall plan
+                    ok_inner = F.forall(rest, lambda x: elem_ok(x, None))
+                ok = F.coalesce(ok_inner, F.lit(True))
                 fails = [_Multi(F.transform(rest, lambda x, i: F.when(
-                    ~elem_ok(x),
+                    ~elem_ok(x, i),
                     F.struct(
                         F.lit(ukw).alias("keyword"),
                         F.concat(F.lit(ipath + "/"), (i + F.lit(uplen)).cast("string")).alias("instance_pointer"),
@@ -1510,6 +1654,9 @@ def _lower(schema: Any, dialect: Dialect, spath: str, ctx: _Ctx, vkey: str):
                         F.lit("unevaluated item does not match schema").alias("message"),
                     ),
                 )))]
+                if any_allit is not None:
+                    ok = F.when(any_allit, F.lit(True)).otherwise(ok)
+                    fails = _gate(~F.coalesce(any_allit, F.lit(False)), fails)
                 return ok, fails
 
             subs.append(ui_sub)

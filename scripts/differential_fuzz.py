@@ -65,7 +65,8 @@ def rand_schema(rng: random.Random, depth: int = 0) -> dict:
             "prefixItems", "contains", "uniqueItems", "properties", "required",
             "additionalProperties", "patternProperties", "propertyNames",
             "dependentRequired", "allOf", "anyOf", "oneOf", "not", "ifthen",
-            "minmaxItems", "minmaxProps", "multipleOf", "ref"]
+            "minmaxItems", "minmaxProps", "multipleOf", "ref",
+            "dependentSchemas", "unevaluated"]
     if depth >= 2:
         pool = pool[:10]
     for kw in rng.sample(pool, min(n_kw, len(pool))):
@@ -128,6 +129,14 @@ def rand_schema(rng: random.Random, depth: int = 0) -> dict:
             s[rng.choice(["minProperties", "maxProperties"])] = rng.randrange(0, 4)
         elif kw == "multipleOf":
             s["multipleOf"] = rng.choice([1, 2, 5, 0.5, 0.0001, 3])
+        elif kw == "dependentSchemas":
+            s["dependentSchemas"] = {rng.choice(KEYS): rand_schema(rng, depth + 1)}
+        elif kw == "unevaluated":
+            # round-4: data-dependent unevaluated* — combined with the
+            # anyOf/oneOf/if/dependentSchemas draws above, this exercises the
+            # gated-contribution columnar path (columnar._prop_contribs)
+            target = rng.choice(["unevaluatedProperties", "unevaluatedItems"])
+            s[target] = False if rng.random() < 0.5 else rand_schema(rng, depth + 1)
         elif kw == "ref" and depth == 0:
             s["$defs"] = {"d": rand_schema(rng, depth + 1)}
             s.setdefault("properties", {})["r"] = {"$ref": "#/$defs/d"}

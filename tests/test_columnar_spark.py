@@ -247,3 +247,57 @@ def test_huge_numeric_literals_fall_back(spark):
     # in-range literals keep lowering
     assert compile_schema({"const": 2**53 + 1}).is_lowerable()
     assert compile_schema({"maximum": 10**25}).is_lowerable()
+
+
+def test_data_dependent_unevaluated_lowering(spark):
+    """Round-4: data-dependent unevaluated* lowers to the columnar tier
+    (SURVEY.md §2.6 general path — gated coverage contributions). Each
+    schema exercises one gate kind; verdicts must match the interpreter
+    exactly (semantics ref: draft202012/vocab/unevaluated.rb:6-100)."""
+    schemas = [
+        # anyOf: valid branches contribute names
+        {"anyOf": [{"properties": {"foo": {"type": "string"}}, "required": ["foo"]},
+                   {"properties": {"bar": {"type": "number"}}, "required": ["bar"]}],
+         "unevaluatedProperties": False},
+        # if/then/else: arm-dependent coverage
+        {"if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
+         "then": {"properties": {"x": {"type": "number"}}},
+         "else": {"properties": {"y": {"type": "number"}}},
+         "properties": {"kind": {"type": "string"}},
+         "unevaluatedProperties": False},
+        # dependentSchemas: presence-gated coverage
+        {"properties": {"foo": True},
+         "dependentSchemas": {"foo": {"properties": {"bar": True}}},
+         "unevaluatedProperties": False},
+        # oneOf + unevaluatedItems: prefix length depends on the branch
+        {"oneOf": [{"prefixItems": [{"const": "a"}, {"const": "b"}]},
+                   {"prefixItems": [{"const": "x"}]}],
+         "unevaluatedItems": False},
+        # gated `contains` contributes per-element item coverage
+        {"anyOf": [{"contains": {"type": "string"}, "minContains": 2}],
+         "unevaluatedItems": {"type": "number"}},
+        # nested gates: anyOf inside anyOf (conjunction down the tree)
+        {"anyOf": [{"anyOf": [{"properties": {"a": True}, "required": ["a"]}],
+                    "properties": {"b": True}}],
+         "unevaluatedProperties": False},
+    ]
+    instances = [
+        {}, {"foo": "s"}, {"foo": 1}, {"bar": 2}, {"foo": "s", "bar": 2},
+        {"foo": "s", "baz": 3}, {"kind": "a", "x": 1}, {"kind": "a", "y": 1},
+        {"kind": "b", "y": 1}, {"kind": "b", "x": 1}, {"foo": 1, "bar": 2},
+        {"a": 1, "b": 2}, {"a": 1, "c": 3}, {"b": 2},
+        [], ["a"], ["a", "b"], ["a", "b", "c"], ["x"], ["x", "y"],
+        ["s", "t", 3], ["s", 1], [1, 2], ["only"], 7, "scalar", None, True,
+    ]
+    for schema in schemas:
+        plan = compile_schema(schema)
+        assert plan.is_lowerable(), f"should lower: {json.dumps(schema)[:90]}"
+        ev = Evaluator(schema, dialect=DRAFT202012)
+        expected = [bool(ev.valid(v)) for v in instances]
+        df = spark.createDataFrame(
+            [(expected[i], json.dumps(v)) for i, v in enumerate(instances)],
+            "expected boolean, content string",
+        )
+        out = plan.validate_json_column(df, "content")
+        bad = out.filter(F.col("valid") != F.col("expected")).collect()
+        assert not bad, f"{json.dumps(schema)[:90]}: {bad[:5]}"
