@@ -31,50 +31,106 @@ _MERSENNE = (1 << 31) - 1  # 2^31-1, prime; affine-permutation modulus
 MAX_BUCKET = 50
 
 
-def _bucket_pair_rows(banded: DataFrame, keys: Sequence[str], cap: int = MAX_BUCKET) -> DataFrame:
-    """Skew-safe bucket pairing: all-pairs over the ``cap`` smallest members
-    of each bucket + star pairs (bucket head, member) for the tail — WITHOUT
-    ever materializing a whole bucket.
+def _salted_rank(banded: DataFrame, keys, cap: int, salt_n: int) -> DataFrame:
+    """Pre-rank bucket members in PARALLEL: partition the window by
+    (bucket, salt) so a 10^7-member degenerate bucket sorts as ``salt_n``
+    independent chunks instead of one task (round-3 review, "What's wrong
+    #3"). The salted rank ``__srn`` lower-bounds the global rank (a salt
+    group is a subset of its bucket), so:
 
-    ``banded`` must carry the bucket key columns ``keys`` plus a ``__m``
-    member column (scalar or struct; ordering and pairing are by its value).
-    Returns (a, b) pairs with a < b within dense pairs and a = bucket min
-    for star pairs — identical output to collecting each bucket sorted and
-    pairing, which is what round 2 did via collect_list.
-
-    Why a window, not collect_list (round-2 review, "What's wrong #2"):
-    a groupBy collect_list builds the ENTIRE bucket as one array value in a
-    single aggregation buffer — a degenerate bucket (10^7 boilerplate/empty
-    docs sharing a band hash, the normal case in a web crawl) allocates
-    multi-GB in one task and OOMs. WindowExec instead buffers partition rows
-    in an ExternalAppendOnlyUnsafeRowArray that SPILLS to disk, and every
-    per-row state here is bounded: row_number, the running min (== bucket
-    head, ascending order) and the next cap-1 members (bounded frame).
-    One shuffle + sort; no other plan change.
+    - ``__srn > cap``  proves global rank > cap (tail member: star pair);
+    - every member with global rank <= cap has ``__srn <= cap`` — the
+      survivor set provably contains the true cap smallest.
     """
     from pyspark.sql import Window
 
+    ws = Window.partitionBy(*keys, "__salt").orderBy("__m")
+    return (
+        banded.withColumn("__salt", F.pmod(F.hash("__m"), F.lit(salt_n)))
+        # explicit repartition (not the window's implicit ENSURE_REQUIREMENTS
+        # exchange): the tail and survivor branches must hang off ONE
+        # exchange subtree. Left implicit, InsertWindowGroupLimit rewrites
+        # only the survivor branches' exchange input (partial top-cap), the
+        # subtrees stop being identical, and ReuseExchange re-scans — and
+        # re-computes the expensive signature projection — for the tail.
+        .repartition(*keys, "__salt")
+        .select(*keys, "__m", F.row_number().over(ws).alias("__srn"))
+    )
+
+
+def _bucket_pair_rows(banded: DataFrame, keys: Sequence[str], cap: int = MAX_BUCKET,
+                      salt_n: int = 64) -> DataFrame:
+    """Skew-safe bucket pairing: all-pairs over the ``cap`` smallest members
+    of each bucket + star pairs (bucket head, member) for the tail — WITHOUT
+    ever materializing a whole bucket, and (round 4) WITHOUT ever sorting a
+    whole oversize bucket in one task.
+
+    ``banded`` must carry the bucket key columns ``keys`` plus a ``__m``
+    member column (scalar or struct; ordering and pairing are by its value,
+    which must be unique within a bucket). Returns (a, b) pairs with a < b
+    within dense pairs and a = bucket min for star pairs — identical output
+    to collecting each bucket sorted and pairing.
+
+    Plan shape (round-3 review "What's wrong #3" — the round-2/3 version
+    windowed EVERY bucket by key, so one degenerate bucket was one task:
+    memory-safe via WindowExec's spilling ExternalAppendOnlyUnsafeRowArray,
+    but wall-clock-serial at crawl scale):
+
+    1. SALTED pre-rank (:func:`_salted_rank`): one (keys, salt) shuffle;
+       every window partition is bounded by ~bucket/salt_n rows. Members
+       with ``__srn > cap`` are provably tail members.
+    2. Global re-rank of the survivors (<= salt_n x cap rows PER BUCKET, so
+       the (keys) window partitions are bounded regardless of bucket size).
+       For a small bucket every member survives, so this step alone
+       reproduces the round-2/3 semantics exactly. Dense pairs come from
+       the bounded next-members frame; survivors ranked past ``cap`` emit
+       star pairs with the running-first head.
+    3. Tail members join the rank-1 heads (one row per bucket; AQE
+       broadcasts when small) and emit star pairs — no window, no sort:
+       embarrassingly parallel.
+
+    The union\'s three branches all hang off the SAME two exchange subtrees
+    ((keys, salt) pre-rank and (keys) re-rank), so ReuseExchange computes
+    the expensive upstream (signature projection + both shuffles) once —
+    asserted in tests/test_plans.py.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    ranked1 = _salted_rank(banded, keys, cap, salt_n)
+    deep = ranked1.filter(F.col("__srn") > cap).select(*keys, "__m")
+    cand = ranked1.filter(F.col("__srn") <= cap).select(*keys, "__m")
+
     w = Window.partitionBy(*keys).orderBy("__m")
-    ranked = banded.select(
-        F.col("__m"),
+    ranked2 = cand.select(
+        *keys, "__m",
         F.row_number().over(w).alias("__rn"),
-        # running min over ascending order == the bucket's global min
-        F.min("__m").over(w).alias("__head"),
+        # running first over ascending order == the bucket head (O(1) state)
+        F.first("__m").over(w).alias("__head"),
         # the next cap-1 members: bounded frame, never the whole bucket
         F.collect_list("__m").over(w.rowsBetween(1, cap - 1)).alias("__nxt"),
     )
     rn = F.col("__rn")
-    # rows rn < cap emit dense pairs with members rn+1..cap (slice of __nxt);
-    # rows rn > cap emit one star pair (head, member); rn == cap emits
-    # nothing (its dense pairs were emitted by earlier rows). No otherwise:
-    # NULL arrays explode to zero rows.
+    # rows rn < cap emit dense pairs with members rn+1..cap (slice of the
+    # bounded frame); rn == cap emits nothing (its pairs were emitted by
+    # earlier rows). NULL slices explode to zero rows.
     dense = F.transform(
         F.slice("__nxt", F.lit(1), F.lit(cap) - rn),
         lambda x: F.struct(F.col("__m").alias("a"), x.alias("b")),
     )
-    star = F.array(F.struct(F.col("__head").alias("a"), F.col("__m").alias("b")))
-    pairs = F.when(rn < cap, dense).when(rn > cap, star)
-    return ranked.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    dense_pairs = (
+        ranked2.filter(rn < cap)
+        .select(F.explode(dense).alias("p"))
+        .select("p.a", "p.b")
+    )
+    stars_edge = ranked2.filter(rn > cap).select(
+        F.col("__head").alias("a"), F.col("__m").alias("b")
+    )
+    heads = ranked2.filter(rn == 1).select(*keys, F.col("__m").alias("__head"))
+    stars_deep = deep.join(heads, keys).select(
+        F.col("__head").alias("a"), F.col("__m").alias("b")
+    )
+    return dense_pairs.unionByName(stars_edge).unionByName(stars_deep)
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -61,13 +61,21 @@ def test_exact_dedup_single_shuffle(spark):
 
 def test_minhash_signature_computed_once(spark):
     """The staged tokens/signature projections must survive optimization:
-    exactly ONE signature fold in the banded plan — CollapseProject
-    re-inlining it into the 16 band slices would re-run it per band."""
+    exactly ONE signature fold computed at RUNTIME. Since round 4 the
+    pairing fans out into a three-branch union, so the assertion runs on
+    the EXECUTED adaptive plan: every branch must read the one materialized
+    (keys, salt) exchange through ReusedExchange — a second `Scan parquet`
+    in the final plan means the signature projection ran twice."""
     from json_schemer_spark.operators.dedup import minhash_lsh_candidates
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    p = _plan(minhash_lsh_candidates(docs, "text", "doc_id"))
-    assert p.count("aggregate(") == 1, p[:1200]
+    df = minhash_lsh_candidates(docs, "text", "doc_id")
+    df.collect()
+    p = _plan(df)
+    assert "isFinalPlan=true" in p
+    final = p.split("== Initial Plan")[0] if "Initial Plan" in p else p
+    assert final.count("Scan parquet") == 1, final[:1500]
+    assert final.count("ReusedExchange") >= 2, final[:1500]
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
 
@@ -117,3 +125,34 @@ def test_prefilter_lands_in_scan(spark):
     # and the result is the filtered subset, validated
     n_py = corpus.filter(F.col("lang") == "py").count()
     assert out.count() == n_py
+
+
+def test_oversize_bucket_pairs_parallel_and_exact(spark):
+    """Round-3 "What's wrong #3": a degenerate mega-bucket must NOT be
+    sorted by a single task. One 20k-member bucket: (a) the salted pre-rank
+    spreads it across >1 partition (the pair-emission bottleneck of the
+    round-2/3 single-window design), (b) the output is exactly the
+    dense-pairs-over-cap-smallest + head-star-tail contract."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.dedup import _bucket_pair_rows, _salted_rank
+
+    n, cap = 20_000, 50
+    df = spark.range(n).select(F.lit(1).alias("k"), F.col("id").alias("__m"))
+    got = {(r.a, r.b) for r in _bucket_pair_rows(df, ["k"], cap=cap).collect()}
+    expected = {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    expected |= {(0, m) for m in range(cap, n)}
+    assert got == expected
+
+    # AQE coalesces these 20k tiny rows into one partition (byte-sized
+    # targets); pin it off to observe the distribution a real-scale bucket
+    # would get
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        ranked = _salted_rank(df, ["k"], cap, 64)
+        nparts = ranked.select(F.spark_partition_id().alias("p")).distinct().count()
+    finally:
+        spark.conf.set(coalesce_key, old)
+    assert nparts > 1, "mega-bucket ranked by a single task"
