@@ -33,12 +33,20 @@ from json_schemer_spark.schema.dialects import (
     OPENAPI31,
 )
 from json_schemer_spark.schema.openapi import OpenAPIDocument, openapi
+from json_schemer_spark.errors import pretty, pretty_errors_column
+from json_schemer_spark.configuration import Configuration, configuration, configure, configured
 
 __all__ = [
     "compile_schema",
     "valid_schema",
     "validate_schema",
     "CompiledSchema",
+    "pretty",
+    "Configuration",
+    "configuration",
+    "configure",
+    "configured",
+    "pretty_errors_column",
     "openapi",
     "OpenAPIDocument",
     "DRAFT4",

@@ -160,6 +160,17 @@ class CompiledSchema:
     def valid_value(self, instance: Any, access_mode: Optional[str] = None) -> bool:
         return self._evaluator.validate(instance, access_mode=access_mode)["valid"]
 
+    def pretty_errors(self, instance: Any, access_mode: Optional[str] = None) -> list:
+        """Human-readable classic errors (reference Errors.pretty,
+        errors.rb:7-30): each row enriched with its subschema and — for
+        ``required`` — the concrete missing keys, then formatted."""
+        from json_schemer_spark.errors import enrich, pretty
+
+        return [
+            pretty(enrich(e, self.schema, instance))
+            for e in self.validate_value(instance, "classic", access_mode)
+        ]
+
     # -- meta-schema self-validation (reference json_schemer.rb:125-133,
     #    schema.rb:120-126: the engine validates its own schema document
     #    with the same engine — SURVEY.md §1.2) ------------------------------
@@ -444,5 +455,10 @@ def compile_schema(schema: Any, **options) -> CompiledSchema:
     (configuration.rb:3-31): dialect, ref_resolver, assert_formats, formats,
     keywords, before/after_property_validation, insert_property_defaults,
     property_default_resolver, regexp_resolver, content_encodings,
-    content_media_types, base_uri."""
-    return CompiledSchema(schema, **options)
+    content_media_types, base_uri. Options NOT passed fall back to the
+    process-wide :func:`~json_schemer_spark.configuration.configure`
+    defaults (reference json_schemer.rb:239-245)."""
+    from json_schemer_spark.configuration import configuration
+
+    merged = {**configuration().as_options(), **options}
+    return CompiledSchema(schema, **merged)
