@@ -121,16 +121,100 @@ class OpenAPISchema(CompiledSchema):
 
 _DOC_SCHEMERS: dict[int, CompiledSchema] = {}
 
+# http://json-schema.org/blog/posts/validating-openapi-and-json-schema —
+# the dialect list the reference supports for jsonSchemaDialect / $schema
+# re-validation of embedded schema objects (openapi31/document.rb DIALECTS)
+OAS31_DIALECT_URIS = (
+    "https://spec.openapis.org/oas/3.1/dialect/base",
+    "https://json-schema.org/draft/2020-12/schema",
+    "https://json-schema.org/draft/2019-09/schema",
+    "http://json-schema.org/draft-07/schema#",
+    "http://json-schema.org/draft-06/schema#",
+    "http://json-schema.org/draft-04/schema#",
+)
+
+_SCHEMA_BASE_URI = "json-schemer-spark://openapi31/schema-base"
+
+
+def _oas31_dialect_meta() -> dict:
+    """The OAS 3.1 base dialect meta-schema (reference openapi31/meta.rb:
+    28-36): 2020-12 ∧ the OAS base vocabulary."""
+    return {
+        "$id": "https://spec.openapis.org/oas/3.1/dialect/base",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$dynamicAnchor": "meta",
+        "allOf": [
+            {"$ref": "https://json-schema.org/draft/2020-12/schema"},
+            {"$ref": "https://spec.openapis.org/oas/3.1/meta/base"},
+        ],
+    }
+
+
+def _dialect_wrap(dialect_uri: str, idx: int) -> dict:
+    """openapi31/document.rb ``dialect_schema``: wraps the official OAS 3.1
+    document schema in a resource whose ``$defs/schema`` OVERRIDES the
+    document schema's ``$dynamicAnchor: meta`` — every embedded schema
+    object re-validates under its ``$schema``-declared dialect, defaulting
+    to ``dialect_uri`` (the document's jsonSchemaDialect)."""
+    others = [d for d in OAS31_DIALECT_URIS if d != dialect_uri]
+    return {
+        "$id": f"json-schemer-spark://openapi31/dialect-wrap/{idx}",
+        "$ref": "https://spec.openapis.org/oas/3.1/schema/2022-10-07",
+        "$defs": {
+            "schema": {
+                "$dynamicAnchor": "meta",
+                "properties": {
+                    "$schema": {"$ref": f"{_SCHEMA_BASE_URI}#/$defs/dialect"},
+                },
+                "allOf": [
+                    # no $schema (the `if` passes vacuously) -> the default
+                    # dialect's meta applies; an explicit $schema dispatches
+                    # to that dialect's meta instead
+                    {"if": {"properties": {"$schema": {"const": dialect_uri}}},
+                     "then": {"$ref": dialect_uri}},
+                    *[
+                        {"if": {"type": "object", "required": ["$schema"],
+                                "properties": {"$schema": {"const": other}}},
+                         "then": {"$ref": other}}
+                        for other in others
+                    ],
+                ],
+            }
+        },
+    }
+
+
+def _oas31_schema_base() -> dict:
+    """openapi31/document.rb SCHEMA_BASE: dispatch on the document-level
+    ``jsonSchemaDialect`` (defaulting to the OAS base dialect) into the
+    matching :func:`_dialect_wrap` resource."""
+    default, *others = OAS31_DIALECT_URIS
+    return {
+        "$id": _SCHEMA_BASE_URI,
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": {"dialect": {"enum": list(OAS31_DIALECT_URIS)}},
+        "properties": {"jsonSchemaDialect": {"$ref": "#/$defs/dialect"}},
+        "allOf": [
+            {"if": {"properties": {"jsonSchemaDialect": {"const": default}}},
+             "then": _dialect_wrap(default, 0)},
+            *[
+                {"if": {"type": "object", "required": ["jsonSchemaDialect"],
+                        "properties": {"jsonSchemaDialect": {"const": other}}},
+                 "then": _dialect_wrap(other, i + 1)}
+                for i, other in enumerate(others)
+            ],
+        ],
+    }
+
 
 def _document_schemer(version: int) -> CompiledSchema:
-    """Validator FOR OpenAPI documents of the given version, compiled from
-    the embedded official document schemas (reference openapi.rb:10-15,
-    openapi{30,31}/document.rb). Formats assert (the reference's default).
-
-    Known divergence (documented): the reference additionally rebinds
-    embedded Schema objects to a document-declared ``jsonSchemaDialect``
-    meta-schema (openapi31/document.rb SCHEMA_BASE); here documents
-    validate against the PLAIN official schema."""
+    """Validator FOR OpenAPI documents of the given version (reference
+    openapi.rb:10-15, openapi{30,31}/document.rb). Formats assert (the
+    reference's default). 3.1 documents validate against the reference's
+    SCHEMA_BASE wrapper (round-3 review divergence, closed in round 4):
+    embedded schema objects re-validate under the document-declared
+    ``jsonSchemaDialect`` / per-object ``$schema`` via dynamic-anchor
+    override."""
     got = _DOC_SCHEMERS.get(version)
     if got is None:
         from json_schemer_spark.schema.dialects import DRAFT4, DRAFT202012
@@ -138,10 +222,18 @@ def _document_schemer(version: int) -> CompiledSchema:
         from json_schemer_spark.schema.oas_documents import (
             OAS30_DOCUMENT_SCHEMA,
             OAS31_DOCUMENT_SCHEMA,
+            OAS31_META_BASE,
         )
 
         def resolver(uri: str):
-            return METASCHEMAS.get(uri) or METASCHEMAS.get(uri.rstrip("#"))
+            bare = uri.rstrip("#")
+            if bare == "https://spec.openapis.org/oas/3.1/schema/2022-10-07":
+                return OAS31_DOCUMENT_SCHEMA
+            if bare == "https://spec.openapis.org/oas/3.1/dialect/base":
+                return _oas31_dialect_meta()
+            if bare.startswith("https://spec.openapis.org/oas/3.1/meta/base"):
+                return OAS31_META_BASE
+            return METASCHEMAS.get(uri) or METASCHEMAS.get(bare)
 
         if version == 30:
             got = CompiledSchema(
@@ -151,8 +243,8 @@ def _document_schemer(version: int) -> CompiledSchema:
             )
         else:
             got = CompiledSchema(
-                OAS31_DOCUMENT_SCHEMA, dialect=DRAFT202012, assert_formats=True,
-                base_uri="https://spec.openapis.org/oas/3.1/schema/2022-10-07",
+                _oas31_schema_base(), dialect=DRAFT202012, assert_formats=True,
+                base_uri=_SCHEMA_BASE_URI,
                 ref_resolver=resolver,
             )
         _DOC_SCHEMERS[version] = got
@@ -178,6 +270,21 @@ class OpenAPIDocument:
             document = json.loads(document)
         self.document = document
         self.dialect = _document_dialect(document)
+        self._version = self.dialect.openapi
+        # OAS 3.1: a document-level jsonSchemaDialect sets the DEFAULT
+        # dialect for components/schemas entries (reference openapi.rb:11 —
+        # meta_schema = document.fetch('jsonSchemaDialect') { OAS 3.1 base };
+        # unknown dialects raise, open_api_test.rb
+        # test_unsupported_json_schema_dialect)
+        jsd = document.get("jsonSchemaDialect") if self._version == 31 else None
+        if jsd is not None:
+            from json_schemer_spark.schema.dialects import DIALECTS_BY_URI
+            from json_schemer_spark.schema.interpreter import SchemaCompileError
+
+            got = DIALECTS_BY_URI.get(jsd) or DIALECTS_BY_URI.get(str(jsd).rstrip("#"))
+            if got is None:
+                raise SchemaCompileError(f"unknown jsonSchemaDialect {jsd!r}")
+            self.dialect = got
         self._opts = dict(
             ref_resolver=ref_resolver, assert_formats=assert_formats,
             formats=formats, keywords=keywords,
@@ -186,11 +293,11 @@ class OpenAPIDocument:
 
     def valid(self) -> bool:
         """Is the OpenAPI DOCUMENT itself valid? (reference OpenAPI#valid?)"""
-        return _document_schemer(self.dialect.openapi).valid_value(self.document)
+        return _document_schemer(self._version).valid_value(self.document)
 
     def validate(self, output_format: str = "classic") -> Any:
         """Document self-validation errors (reference OpenAPI#validate)."""
-        return _document_schemer(self.dialect.openapi).validate_value(
+        return _document_schemer(self._version).validate_value(
             self.document, output_format=output_format)
 
     def schema(self, name: Optional[str] = None) -> OpenAPISchema:

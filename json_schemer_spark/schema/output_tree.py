@@ -23,8 +23,13 @@ Unit fields follow the 2019-09/2020-12 output spec: ``valid``,
 ``errors``/``annotations`` per the unit's own validity (output.rb:16).
 Known divergence from the reference (documented, not hidden): keyword
 units for in-place applicators carry this implementation's error messages,
-and the reference's ``ignore_nested`` flag (used by a handful of keywords)
-is not modeled — ``not`` subresults appear as nested units here.
+and ``$ref`` renders as a wrapper unit with the target as its single child
+(the reference returns the target's result AS the ``$ref`` unit — basic
+output is unaffected because single-matching-child wrappers collapse).
+The reference's ``ignore_nested`` flag and subresult adoption ARE modeled
+(round-4): ``oneOf`` with >1 match and ``contains`` render as leaves;
+``not``/``if``/``then``/``else`` adopt their subschema's nested results
+(result.rb:121,137,167; applicator.rb:60,73-118,214).
 """
 
 from __future__ import annotations
@@ -415,7 +420,9 @@ class TreeEvaluator:
                 min_c = schema.get("minContains", 1) if dialect.has_min_max_contains else 1
                 max_c = schema.get("maxContains") if dialect.has_min_max_contains else None
                 ok = len(matched) >= min_c
-                applicator_unit("contains", ok, children,
+                # reference Contains sets ignore_nested => true
+                # (applicator.rb:214): per-element results never surface
+                applicator_unit("contains", ok, [],
                                 message=f"{len(matched)} items match contains, need >= {min_c}")
                 if dialect.has_min_max_contains:
                     if "minContains" in schema:
@@ -609,34 +616,44 @@ class TreeEvaluator:
                 if cu["valid"]:
                     n_valid += 1
                     merge_inplace(cu, cp, ci)
-            applicator_unit("oneOf", n_valid == 1, children,
+            # reference ignore_nested (applicator.rb:60): when MORE than one
+            # branch matched, the branch units are suppressed in every
+            # output walk — the oneOf unit renders as a leaf
+            applicator_unit("oneOf", n_valid == 1,
+                            [] if n_valid > 1 else children,
                             message=f"{n_valid} subschemas matched, need exactly 1")
 
         if "not" in schema:
             cu, _cp, _ci = self._apply(schema["not"], instance, ipath,
                                        f"{kloc}/not", f"{spath}/not", scope, dialect)
-            applicator_unit("not", not cu["valid"], [cu],
+            # reference Not (applicator.rb:73-76) adopts the SUBSCHEMA's
+            # nested results directly — the subschema unit itself does not
+            # surface as a nested unit (round-3 review divergence, closed)
+            applicator_unit("not", not cu["valid"], _nested_of(cu),
                             message="instance matched 'not' subschema")
 
         if dialect.has_if_then_else and "if" in schema:
             cu_if, cp, ci = self._apply(schema["if"], instance, ipath,
                                         f"{kloc}/if", f"{spath}/if", scope, dialect)
-            # `if` never asserts: its unit is always valid (condition only)
-            applicator_unit("if", True, [cu_if], assert_=False)
+            # `if` never asserts: valid unit, annotation = condition verdict,
+            # subschema children adopted (applicator.rb:86)
+            node.units.append(self._unit(
+                True, f"{kloc}/if", abs_kw("if"), ipath,
+                annotation=cu_if["valid"], nested=_nested_of(cu_if)))
             if cu_if["valid"]:
                 merge_inplace(cu_if, cp, ci)
                 if "then" in schema:
                     cu, cp2, ci2 = self._apply(schema["then"], instance, ipath,
                                                f"{kloc}/then", f"{spath}/then",
                                                scope, dialect)
-                    applicator_unit("then", cu["valid"], [cu],
+                    applicator_unit("then", cu["valid"], _nested_of(cu),
                                     message="instance does not match 'then' subschema")
                     merge_inplace(cu, cp2, ci2)
             elif "else" in schema:
                 cu, cp2, ci2 = self._apply(schema["else"], instance, ipath,
                                            f"{kloc}/else", f"{spath}/else",
                                            scope, dialect)
-                applicator_unit("else", cu["valid"], [cu],
+                applicator_unit("else", cu["valid"], _nested_of(cu),
                                 message="instance does not match 'else' subschema")
                 merge_inplace(cu, cp2, ci2)
 

@@ -149,3 +149,79 @@ def test_verbose_exclusive_ref_drafts():
     assert out["valid"] is False
     (ref_u,) = out["errors"]
     assert ref_u["keywordLocation"] == "/$ref"
+
+
+def _find(unit, kloc):
+    """Depth-first unit lookup by keywordLocation."""
+    if unit.get("keywordLocation") == kloc:
+        return unit
+    for key in ("errors", "annotations"):
+        for child in unit.get(key) or []:
+            got = _find(child, kloc)
+            if got is not None:
+                return got
+    return None
+
+
+def _child_klocs(unit):
+    return sorted(
+        c["keywordLocation"]
+        for key in ("errors", "annotations")
+        for c in unit.get(key) or []
+    )
+
+
+def test_verbose_not_adopts_subschema_results():
+    """Reference Not (applicator.rb:73-76) passes the SUBSCHEMA's nested
+    results as its own — the subschema unit itself never surfaces
+    (round-3 review divergence, closed in round 4)."""
+    from json_schemer_spark import compile_schema
+
+    tree = compile_schema({"not": {"type": "integer"}}).validate_value(3, "verbose")
+    assert not tree["valid"]
+    not_unit = _find(tree, "/not")
+    assert not_unit is not None and not not_unit["valid"]
+    # children are the subschema's KEYWORD units (/not/type), with no
+    # intermediate /not schema unit
+    assert _child_klocs(not_unit) == ["/not/type"]
+
+
+def test_verbose_if_annotation_and_adoption():
+    """Reference If (applicator.rb:84-87): valid unit, annotation = the
+    condition verdict, subschema results adopted."""
+    from json_schemer_spark import compile_schema
+
+    plan = compile_schema({"if": {"type": "integer"}, "then": {"minimum": 5}})
+    tree = plan.validate_value(3, "verbose")
+    if_unit = _find(tree, "/if")
+    assert if_unit["valid"] is True and if_unit["annotation"] is True
+    assert _child_klocs(if_unit) == ["/if/type"]
+    then_unit = _find(tree, "/then")
+    assert not then_unit["valid"]
+    assert _child_klocs(then_unit) == ["/then/minimum"]
+
+
+def test_verbose_oneof_multimatch_is_leaf():
+    """Reference ignore_nested (applicator.rb:60): >1 matching branch
+    suppresses the branch units in every output walk."""
+    from json_schemer_spark import compile_schema
+
+    plan = compile_schema({"oneOf": [{"type": "number"}, {"minimum": 0}]})
+    tree = plan.validate_value(3, "verbose")
+    one = _find(tree, "/oneOf")
+    assert not one["valid"]
+    assert _child_klocs(one) == []
+    # single match still shows its branches
+    tree2 = plan.validate_value(-1, "verbose")
+    one2 = _find(tree2, "/oneOf")
+    assert one2["valid"] and _child_klocs(one2) != []
+
+
+def test_verbose_contains_is_leaf():
+    """Reference Contains sets ignore_nested => true (applicator.rb:214)."""
+    from json_schemer_spark import compile_schema
+
+    tree = compile_schema({"contains": {"type": "integer"}}).validate_value(
+        ["a", 1], "verbose")
+    c = _find(tree, "/contains")
+    assert c["valid"] and _child_klocs(c) == []
