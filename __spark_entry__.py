@@ -455,20 +455,26 @@ def _ensure_oracle_caches() -> None:
 
     from json_schemer_spark.sources.corpus import generate_commits_dim, generate_corpus
 
+    # round-3 ADVICE: stop the cache-builder session so its bench-local
+    # config (local[8], 8 shuffle partitions, no UI) cannot leak into a
+    # later getOrCreate() in the same process
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    if "/tmp/jss_corpus_cache_50000" in need:
-        generate_corpus(spark, 50_000).write.mode("overwrite").parquet(
-            "/tmp/jss_corpus_cache_50000"
-        )
-    if "/tmp/jss_commits_dim_cache" in need:
-        generate_commits_dim(spark).write.mode("overwrite").parquet(
-            "/tmp/jss_commits_dim_cache"
-        )
+    try:
+        if "/tmp/jss_corpus_cache_50000" in need:
+            generate_corpus(spark, 50_000).write.mode("overwrite").parquet(
+                "/tmp/jss_corpus_cache_50000"
+            )
+        if "/tmp/jss_commits_dim_cache" in need:
+            generate_commits_dim(spark).write.mode("overwrite").parquet(
+                "/tmp/jss_commits_dim_cache"
+            )
+    finally:
+        spark.stop()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -361,8 +361,11 @@ def jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text, n_bits: int = 64):
+def simhash(text):
     """64-bit SimHash over whitespace tokens — all JVM, SWAR accumulator.
+    (Round-3 ADVICE: the former ``n_bits`` parameter is gone — the packed
+    accumulator is specialized to 64 bits and a non-64 argument could only
+    assert; width is now part of the contract.)
 
     Measured 2.2x faster than the naive 64-long counter fold (sf0.1
     documents, min-of-4: 1.5 s vs 3.3 s) and the generated code shrinks
@@ -386,7 +389,6 @@ def simhash(text, n_bits: int = 64):
     Output is bit-identical to the naive form: bit b is set iff
     2*count_b(set) > n_tokens, i.e. the +-1 counter is strictly positive.
     """
-    assert n_bits == 64, "packed accumulator is specialized to 64-bit signatures"
     tokens = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     blk = 127  # max tokens per block: 8-bit lane holds counts <= 127

@@ -297,6 +297,11 @@ class Evaluator:
         # ids of schemas currently dispatching / currently being evaluated
         self._disc_stack: list[int] = []
         self._eval_stack: list[int] = []
+        # track the eval stack for EVERY node when the document's root is
+        # OpenAPI: a discriminator can re-dispatch into branches that rebind
+        # $schema to a plain draft, and the loop guard must see them too
+        # (round-3 ADVICE; per-node dialect alone missed that case)
+        self._track_eval_stack = bool(self.root_resource.dialect.openapi)
         # extension surface (reference schema.rb:32-44,108-118,311-360;
         # applicator.rb:232-260; SURVEY.md §2.7)
         def _as_list(h):
@@ -315,9 +320,11 @@ class Evaluator:
         # chain (result.rb:50-75): most-specific location key → keyword →
         # catch-all. Templates use the same %{var} interpolation as x-error.
         self.i18n_messages = i18n_messages or {}
-        # compiled node plans, memoized by schema-node identity (nodes are
-        # kept alive by the registry's document pins)
-        self._plans: dict[int, Callable] = {}
+        # compiled node plans, memoized by schema-node identity with the
+        # node object stored alongside for an identity check on lookup
+        # (nodes are kept alive by the registry's document pins; the check
+        # turns an id()-recycling collision into a recompile, round-3 ADVICE)
+        self._plans: dict[int, tuple] = {}
         # per-validate state (Evaluator is used single-threaded per row)
         self._access_mode: Optional[str] = None
         self._defaults: Optional[_DefaultsCollector] = None
@@ -427,10 +434,15 @@ class Evaluator:
             return _Result(False, [("schema", ipath, spath, "false schema disallows everything")], None, None)
         if not isinstance(schema, dict):
             raise SchemaCompileError(f"invalid schema at {spath!r}: {type(schema)}")
-        plan = self._plans.get(id(schema))
-        if plan is None:
+        got = self._plans.get(id(schema))
+        if got is not None and got[0] is schema:
+            plan = got[1]
+        else:
+            # identity verified on lookup (round-3 ADVICE): a recycled id()
+            # from a collected transient dict must miss loudly, not return
+            # a stale plan silently
             plan = self._compile(schema, spath, dialect)
-            self._plans[id(schema)] = plan
+            self._plans[id(schema)] = (schema, plan)
         return plan(instance, ipath, scope)
 
     def _child(self, sub: Any, child_spath: str, dialect: Dialect):
@@ -453,10 +465,12 @@ class Evaluator:
         def run_dict(instance, ipath, scope):
             p = cell[0]
             if p is None:
-                p = plans.get(key)
-                if p is None:
+                got = plans.get(key)
+                if got is not None and got[0] is sub:
+                    p = got[1]
+                else:
                     p = self._compile(sub, child_spath, dialect)
-                    plans[key] = p
+                    plans[key] = (sub, p)
                 cell[0] = p
             return p(instance, ipath, scope)
 
@@ -1337,7 +1351,10 @@ class Evaluator:
         arr_t = tuple(arr_checks)
         obj_t = tuple(obj_checks)
         tail_t = tuple(tail)
-        track_eval_stack = bool(dialect.openapi)
+        # evaluator-level: any OpenAPI dialect in the document means a
+        # discriminator may re-dispatch into ANY node, including branches
+        # that rebind $schema to a plain draft (round-3 ADVICE)
+        track_eval_stack = bool(dialect.openapi) or self._track_eval_stack
         eval_stack = self._eval_stack
 
         def run(instance, ipath, scope) -> _Result:
