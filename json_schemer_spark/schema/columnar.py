@@ -180,6 +180,76 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             raise Unsupported(f"non-local $ref {ref!r}")
         return _resolve_pointer(schema, ref[1:])
 
+    # deferred uniqueness re-checks: a lazily-fetched remote could register
+    # a competing $dynamicAnchor AFTER a static resolution was accepted —
+    # re-verified once the whole tree has inlined (every reachable resource
+    # is fetched by then)
+    _dyn_checks: list[tuple[str, Any]] = []
+
+    def _anchor_competitors(frag: str, target: Any) -> bool:
+        seen: set[int] = set()
+        for r in registry.resources.values():
+            node = r.dynamic_anchors.get(frag)
+            if node is not None and node is not target and id(node) not in seen:
+                seen.add(id(node))
+                return True
+        return False
+
+    def resolve_dynamic_static(node: dict, kind: str, ref: str):
+        """Statically resolve ``$dynamicRef``/``$recursiveRef`` when the
+        dynamic machinery provably cannot divert it (round 4):
+
+        - ``$recursiveRef: '#'`` with NO ``$recursiveAnchor: true`` anywhere
+          in the registry == a plain ref to the current resource root
+          (2019-09 core: the dynamic walk finds nothing to land on);
+        - ``$dynamicRef`` whose initially-resolved fragment is NOT a
+          ``$dynamicAnchor`` (pointer fragment, plain ``$anchor``) == plain
+          ``$ref`` (2020-12 core §8.2.3.2);
+        - ``$dynamicRef`` to a ``$dynamicAnchor`` that is the ONLY
+          definition of that name in the registry: outermost-first lookup
+          can only ever find it.
+
+        Anything else (competing anchors — the genuinely dynamic cases)
+        raises :class:`Unsupported` and rides the interpreter tier."""
+        if registry is None:
+            raise Unsupported(kind)
+        from json_schemer_spark.schema.registry import (
+            DEFAULT_BASE_URI,
+            resolve_uri,
+            split_fragment,
+        )
+
+        info = registry.info(node)
+        base_uri = info.base_uri if info is not None else DEFAULT_BASE_URI
+        if kind == "$recursiveRef":
+            if ref != "#":
+                raise Unsupported("non-'#' $recursiveRef")
+            if any(r.recursive_anchor for r in registry.resources.values()):
+                raise Unsupported("$recursiveRef with live $recursiveAnchor")
+            res = registry.resources.get(split_fragment(base_uri)[0])
+            if res is None:
+                raise Unsupported("unresolvable $recursiveRef base")
+            _dyn_checks.append(("(recursive)", None))
+            return res.root
+        try:
+            target, tres, _ptr = registry.resolve_ref_with_pointer(ref, base_uri)
+        except (KeyError, IndexError, TypeError) as exc:
+            raise Unsupported(f"unresolvable $dynamicRef {ref!r}: {exc}") from exc
+        frag = split_fragment(resolve_uri(base_uri, ref))[1]
+        if frag and not frag.startswith("/") and tres.dynamic_anchors.get(frag) is target:
+            if _anchor_competitors(frag, target):
+                raise Unsupported("$dynamicRef with competing $dynamicAnchor definitions")
+            _dyn_checks.append((frag, target))
+        return target
+
+    def recheck_dynamic() -> None:
+        for frag, target in _dyn_checks:
+            if frag == "(recursive)":
+                if any(r.recursive_anchor for r in registry.resources.values()):
+                    raise Unsupported("$recursiveAnchor registered after static resolve")
+            elif _anchor_competitors(frag, target):
+                raise Unsupported("$dynamicAnchor registered after static resolve")
+
     def walk(node: Any, stack: tuple) -> Any:
         """Walk SCHEMA positions only — enum/const/default members and
         unknown-keyword values are data, never rewritten (a `$ref` key
@@ -195,6 +265,21 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                 # a nested resource under a DIFFERENT draft cannot inline —
                 # the lowering runs under one dialect
                 raise Unsupported("cross-dialect $schema in inlined resource")
+        # statically-resolvable dynamic refs inline like modern $ref
+        # (siblings kept, target hoisted into allOf)
+        dyn_targets = []
+        for dkw, active in (("$dynamicRef", dialect.has_dynamic_ref),
+                            ("$recursiveRef", dialect.has_recursive_ref)):
+            if active and isinstance(node.get(dkw), str):
+                if len(stack) > 32:
+                    raise Unsupported("$ref nesting too deep")
+                raw = resolve_dynamic_static(node, dkw, node[dkw])
+                tkey = id(raw)
+                if tkey in stack:
+                    raise Unsupported(f"cyclic {dkw}")
+                dyn_targets.append(walk(raw, stack + (tkey,)))
+                node = {k: v for k, v in node.items() if k != dkw}
+
         ref = node.get("$ref")
         target = None
         if isinstance(ref, str):
@@ -206,9 +291,9 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                 raise Unsupported(f"cyclic $ref {ref!r}")
             target = walk(raw_target, stack + (tkey,))
             siblings = {k: v for k, v in node.items() if k != "$ref"}
-            if dialect.exclusive_ref or not any(
+            if not dyn_targets and (dialect.exclusive_ref or not any(
                 k for k in siblings if k not in ("$defs", "definitions")
-            ):
+            )):
                 return target
             # modern drafts: keep siblings at THIS node and hoist the target
             # into allOf — unevaluated* must still see the target's
@@ -239,11 +324,14 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                      for k, s in val.items()}
                     if isinstance(val, dict) else val
                 )
-        if target is not None:
-            out["allOf"] = [target] + list(out.get("allOf") or [])
+        hoisted = dyn_targets + ([target] if target is not None else [])
+        if hoisted:
+            out["allOf"] = hoisted + list(out.get("allOf") or [])
         return out
 
-    return walk(schema, ())
+    inlined = walk(schema, ())
+    recheck_dynamic()
+    return inlined
 
 
 # ---------------------------------------------------------------------------
