@@ -436,7 +436,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_ann_lsh_recall": q27_ann_lsh_recall,
         "q28_bpe_token_stats": q28_bpe_token_stats,
         "q29_embedding_neardup": q29_embedding_neardup,
+        "q30_pretty_violations": q30_pretty_violations,
     }
+
+
+def q30_pretty_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable violation messages (reference Errors.pretty,
+    errors.rb:7-30) as an all-JVM Column over the columnar validator's
+    violations — counted by message. The `required` case recomputes the
+    concrete missing keys per row from the document column."""
+    from json_schemer_spark import compile_schema, pretty_errors_column
+
+    events = _t(spark, sf_dir, "events")
+    plan = compile_schema(PROPS_SCHEMA)
+    out = plan.validate_json_column(events, "props")
+    return (
+        out.select(F.explode(
+            pretty_errors_column(PROPS_SCHEMA, F.col("violations"), content="props")
+        ).alias("message"))
+        .groupBy("message")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def _ensure_oracle_caches() -> None:
@@ -600,6 +620,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '__valid__', COUNT(*) FROM checks
             WHERE required_kw IS NULL AND type_kw IS NULL AND min_kw IS NULL AND max_kw IS NULL
+        """,
+        "q30_pretty_violations": """
+            WITH checks AS (
+                SELECT CASE WHEN json_extract(props, '$.k') IS NULL
+                            THEN 'root is missing required keys: k' END AS m1,
+                       CASE WHEN json_type(props, '$.k') IS NOT NULL
+                                 AND json_type(props, '$.k') NOT IN ('BIGINT', 'UBIGINT', 'INTEGER')
+                            THEN 'property ''/k'' is not of type: integer' END AS m2,
+                       CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'INTEGER')
+                                 AND CAST(json_extract(props, '$.k') AS BIGINT) < 10
+                            THEN 'property ''/k'' is invalid: error_type=minimum' END AS m3,
+                       CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'INTEGER')
+                                 AND CAST(json_extract(props, '$.k') AS BIGINT) > 80
+                            THEN 'property ''/k'' is invalid: error_type=maximum' END AS m4
+                FROM events
+            ),
+            msgs AS (
+                SELECT m1 AS message FROM checks WHERE m1 IS NOT NULL
+                UNION ALL SELECT m2 FROM checks WHERE m2 IS NOT NULL
+                UNION ALL SELECT m3 FROM checks WHERE m3 IS NOT NULL
+                UNION ALL SELECT m4 FROM checks WHERE m4 IS NOT NULL
+            )
+            SELECT message, COUNT(*) AS n FROM msgs GROUP BY message
         """,
         "q13_doc_hashes": """
             SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
