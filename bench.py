@@ -147,6 +147,7 @@ def main() -> None:
         "q22_corpus_validate",
         "q23_corpus_referential",
         "q27_ann_lsh_recall",
+        "q29_embedding_neardup",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
