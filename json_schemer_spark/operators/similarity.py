@@ -377,3 +377,70 @@ def ann_recall(
             F.round(F.col("n_hits") / F.lit(float(k)), 4).alias("recall"),
         )
     )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbours per query — the Arrow/numpy vectorized twin of
+    :func:`brute_force_topk` for when the per-pair math, not the shuffle, is
+    the bottleneck.
+
+    The JVM path evaluates the 64-dim cosine as an interpreted
+    higher-order-function expression per pair (HOFs never enter whole-stage
+    codegen); this path collects the (small, by the same broadcast contract)
+    query set to the driver once, normalizes it into a dense matrix, and
+    lets every Arrow batch of the corpus do ONE BLAS matmul
+    (``C_norm @ Q_norm.T``) in ``mapInPandas``. Each batch emits only its
+    local top-k per query (the global top-k is a subset of the union of
+    batch top-ks), so the shuffle after the scan carries ≤ batches×q×k rows
+    into a tiny per-query window.
+
+    Caveat (documented, tested): BLAS accumulates in a different order than
+    the JVM left-fold, so cosines can differ in the last ulp and EXACT ties
+    at the k-boundary may resolve differently. Ranks are tie-broken by
+    ascending neighbor id, like the JVM path.
+    """
+    import numpy as np
+
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def topk_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (n_batch, n_queries)
+            # self-match exclusion: a corpus row never neighbors itself
+            S[np.equal.outer(cids, qids)] = -np.inf
+            kk = min(k, S.shape[0])
+            # local top-k per query (argpartition column-wise)
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+            qcol = np.broadcast_to(np.arange(len(qids)), idx.shape)
+            yield pd.DataFrame({
+                "query_id": qids[qcol.ravel()],
+                "neighbor_id": cids[idx.ravel()],
+                "cosine": S[idx.ravel(), qcol.ravel()],
+            })
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(topk_batches, out_schema)
+    cand = cand.filter(F.col("cosine") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

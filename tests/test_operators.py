@@ -338,3 +338,28 @@ def test_degenerate_bucket_100k_bounded_memory(spark):
         assert "ObjectHashAggregate" not in plan, "whole-bucket collect_list is back"
     finally:
         pairs.unpersist()
+
+
+def test_brute_force_topk_arrow_matches_jvm(spark):
+    """The Arrow/numpy exact top-k is the vectorized twin of the JVM HOF
+    path: identical (query, neighbor, rank) output on the test embeddings
+    (BLAS sum order can flip exact ties at the k-boundary — none exist in
+    this data). Cosines agree to single-float precision: the JVM path
+    multiplies the float32 inputs BEFORE widening to double, numpy widens
+    first."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+        sample_queries,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = sample_queries(emb, 10, seed=3)
+    jvm = {(r.query_id, r.neighbor_id, r.rank): r.cosine
+           for r in brute_force_topk(emb, q, k=8).collect()}
+    arw = {(r.query_id, r.neighbor_id, r.rank): r.cosine
+           for r in brute_force_topk_arrow(emb, q, k=8).collect()}
+    assert jvm.keys() == arw.keys()
+    assert all(abs(jvm[k] - arw[k]) < 1e-5 for k in jvm)
