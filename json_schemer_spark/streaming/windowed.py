@@ -108,3 +108,34 @@ def running_verdict_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str,
+    event_time_col: str,
+    watermark_delay: str = "10 minutes",
+    id_cols: Optional[list] = None,
+) -> DataFrame:
+    """Exact streaming deduplication: keep the FIRST occurrence of each
+    content hash within the watermark horizon — the streaming counterpart
+    of :func:`~json_schemer_spark.operators.dedup.dedup_exact` for a
+    continuously-ingested corpus.
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on the md5 of
+    ``text_col``; state for a hash is dropped once the watermark passes its
+    last-seen event time + delay, so state size is bounded by the ingest
+    rate × horizon instead of growing with the corpus (the property that
+    matters at crawl scale — exact global dedup over an unbounded stream
+    is impossible with finite state, and near-horizon re-crawls are
+    precisely the duplicates worth suppressing online; historical dups are
+    the batch job's business).
+
+    Returns the deduplicated stream with a ``content_hash`` column; write
+    with ``outputMode("append")``.
+    """
+    hashed = stream_df.withColumn("content_hash", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark(event_time_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -157,3 +157,59 @@ def test_running_verdict_counts_state_across_restarts(spark, tmp_path):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup: first occurrence passes, in-horizon repeats
+    are suppressed, and once the watermark passes a hash's horizon its
+    state is DROPPED — a far-later recrawl re-emits (bounded state is the
+    contract; historical dedup belongs to the batch job)."""
+    from json_schemer_spark.streaming.windowed import streaming_dedup_exact
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, src, "b0", [("r", "dup-doc", _ts(0))])
+
+    stream = spark.readStream.schema(SCHEMA_DDL).parquet(src)
+    deduped = streaming_dedup_exact(
+        stream, "content", "event_time", watermark_delay="10 minutes")
+    q = (
+        deduped.select("repo", "content", "event_time")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second").start()
+    )
+    try:
+        def _settle():
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                q.processAllAvailable()
+                time.sleep(0.3)
+                if not q.status["isDataAvailable"]:
+                    break
+
+        _settle()
+        # in-horizon duplicate + one distinct doc
+        _write_batch(spark, src, "b1", [("r", "dup-doc", _ts(2)),
+                                        ("r", "other-doc", _ts(2))])
+        _settle()
+        rows = spark.sql("select content from dedup_out").collect()
+        contents = sorted(r.content for r in rows)
+        assert contents == ["dup-doc", "other-doc"], contents
+
+        # advance the watermark far past dup-doc's horizon (0:00 + 10 min),
+        # with a separating batch so the new watermark takes effect
+        _write_batch(spark, src, "b2", [("r", "advancer", _ts(40))])
+        _settle()
+        _write_batch(spark, src, "b3", [("r", "separator", _ts(41))])
+        _settle()
+        # state expired -> the recrawl of dup-doc re-emits
+        _write_batch(spark, src, "b4", [("r", "dup-doc", _ts(42))])
+        _settle()
+        n_dup = spark.sql(
+            "select count(*) n from dedup_out where content = 'dup-doc'"
+        ).collect()[0].n
+        assert n_dup == 2, f"expected horizon-expired recrawl to re-emit, got {n_dup}"
+    finally:
+        q.stop()
