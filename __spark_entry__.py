@@ -438,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_embedding_neardup": q29_embedding_neardup,
         "q30_pretty_violations": q30_pretty_violations,
         "q31_ann_topk_arrow": q31_ann_topk_arrow,
+        "q32_numeric_quantiles": q32_numeric_quantiles,
+        "q33_dup_clusters": q33_dup_clusters,
     }
 
 
@@ -471,6 +473,34 @@ def q31_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return brute_force_topk_arrow(emb, queries, k=10).select(
         "query_id", "neighbor_id", "rank")
+
+
+def q32_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column quantile profile in one aggregation pass (column
+    stats per the north rule; operators/stats.numeric_quantiles)."""
+    from json_schemer_spark.operators.stats import numeric_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = numeric_quantiles(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "column",
+        F.round("p25", 6).alias("p25"), F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"), F.round("p95", 6).alias("p95"),
+    )
+
+
+def q33_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding near-dup pairs -> cluster
+    assignments (id, cluster_id = min reachable id). The iterative
+    min-label propagation (dedup.dup_clusters) is hash-verified against a
+    DuckDB RECURSIVE CTE computing the same reachability fixpoint."""
+    from json_schemer_spark.operators.dedup import dup_clusters
+    from json_schemer_spark.operators.similarity import neardup_pairs_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_exact(emb, threshold=0.42).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return dup_clusters(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
 
 
 def _ensure_oracle_caches() -> None:
@@ -657,6 +687,46 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT m4 FROM checks WHERE m4 IS NOT NULL
             )
             SELECT message, COUNT(*) AS n FROM msgs GROUP BY message
+        """,
+        "q32_numeric_quantiles": """
+            WITH cols(name) AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'))
+            SELECT 'l_quantity' AS "column",
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+                   ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 6),
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   ROUND(quantile_cont(l_discount, 0.25), 6),
+                   ROUND(quantile_cont(l_discount, 0.5), 6),
+                   ROUND(quantile_cont(l_discount, 0.75), 6),
+                   ROUND(quantile_cont(l_discount, 0.95), 6)
+            FROM lineitem
+        """,
+        "q33_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+            )
+            SELECT u AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u
         """,
         "q13_doc_hashes": """
             SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash

@@ -503,3 +503,70 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: i
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate/near-duplicate pairs →
+    ``(id, cluster_id)`` with ``cluster_id`` = the smallest id reachable —
+    the step between pairwise candidates and keep-one-per-cluster dedup.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbours' labels, until a fixpoint. This is
+    the simple-but-sound end of the MapReduce connected-components
+    literature (cf. Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — adequate here because :func:`_bucket_pair_rows` caps every
+    bucket's pair graph at diameter ≤ ~2 (dense core + head-centred stars),
+    so the loop converges in O(log diameter) ≈ 2-4 rounds even at crawl
+    scale. Each round is one equi-join + one partial-aggregated groupBy;
+    lineage is truncated per round with ``localCheckpoint`` so the plan
+    does not grow with iterations, and convergence is detected by the
+    strictly-decreasing label sum (one scalar action per round, no extra
+    join).
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .select(edges["u"].alias("id"), "cluster_id")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("cluster_id").alias("s")).collect()[0].s
+        if cur == prev_sum:  # min-labels decrease monotonically → fixpoint
+            break
+        prev_sum = cur
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep ONE row per near-duplicate cluster (the cluster head = smallest
+    id) plus every row that appears in no pair — the end-to-end "dedup this
+    corpus" operation over any candidate-pair source (exact, MinHash LSH,
+    SimHash, embedding near-dup)."""
+    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")

@@ -95,3 +95,23 @@ def value_histogram(
             "count",
         )
     )
+
+
+def numeric_quantiles(df, cols, probs=(0.25, 0.5, 0.75, 0.95)):
+    """Exact per-column quantiles in ONE aggregation pass →
+    (column, p25, p50, ...) rows. Uses Spark's exact `percentile`
+    (sort-based aggregate with map-side partial state — at 100 TB switch
+    to `approx_percentile` and accept the documented error bound; both
+    share this plan shape)."""
+    import pyspark.sql.functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.struct(
+            F.lit(c).alias("column"),
+            *[F.percentile(F.col(c), F.lit(p)).alias(f"p{int(p * 100)}")
+              for p in probs],
+        ))
+    fields = ["column"] + [f"p{int(p * 100)}" for p in probs]
+    exploded = df.agg(F.array(*aggs).alias("a")).select(F.explode("a").alias("s"))
+    return exploded.select(*[F.col(f"s.{f}").alias(f) for f in fields])

@@ -22,14 +22,14 @@ Unit fields follow the 2019-09/2020-12 output spec: ``valid``,
 ``instanceLocation``, and ``error``/``annotation``; children sit under
 ``errors``/``annotations`` per the unit's own validity (output.rb:16).
 Known divergence from the reference (documented, not hidden): keyword
-units for in-place applicators carry this implementation's error messages,
-and ``$ref`` renders as a wrapper unit with the target as its single child
-(the reference returns the target's result AS the ``$ref`` unit — basic
-output is unaffected because single-matching-child wrappers collapse).
+units for in-place applicators carry this implementation's error messages.
 The reference's ``ignore_nested`` flag and subresult adoption ARE modeled
 (round-4): ``oneOf`` with >1 match and ``contains`` render as leaves;
 ``not``/``if``/``then``/``else`` adopt their subschema's nested results
-(result.rb:121,137,167; applicator.rb:60,73-118,214).
+(result.rb:121,137,167; applicator.rb:60,73-118,214); and
+``$ref``/``$dynamicRef``/``$recursiveRef`` adopt the TARGET's result as
+the keyword unit itself (core.rb:66-68 returns it directly) — no wrapper
+level.
 """
 
 from __future__ import annotations
@@ -201,8 +201,13 @@ class TreeEvaluator:
                 tptr = f"{spath}/$ref"
             cu, cp, ci = self._apply(target, instance, ipath, f"{kloc}/$ref",
                                      tptr, scope, dialect)
-            applicator_unit("$ref", cu["valid"], [cu],
-                            message="instance does not match the $ref target")
+            # reference Ref.validate (core.rb:66-68) RETURNS the target's
+            # result — the target unit (already addressed at .../$ref) IS
+            # the $ref keyword unit; no wrapper level (round-4 close of the
+            # last documented verbose-shape divergence)
+            node.units.append(cu)
+            if not cu["valid"]:
+                node.valid = False
             merge_inplace(cu, cp, ci)
             if dialect.exclusive_ref:
                 # drafts 4-7: $ref replaces all sibling keywords
@@ -216,8 +221,9 @@ class TreeEvaluator:
             target, tptr = self._resolve_dynamic(dref, spath, scope, base_uri)
             cu, cp, ci = self._apply(target, instance, ipath,
                                      f"{kloc}/$dynamicRef", tptr, scope, dialect)
-            applicator_unit("$dynamicRef", cu["valid"], [cu],
-                            message="instance does not match the $dynamicRef target")
+            node.units.append(cu)  # adopt the target result (core.rb:98-109)
+            if not cu["valid"]:
+                node.valid = False
             merge_inplace(cu, cp, ci)
 
         rref = schema.get("$recursiveRef")
@@ -225,8 +231,9 @@ class TreeEvaluator:
             target, tptr = self._resolve_recursive(spath, scope)
             cu, cp, ci = self._apply(target, instance, ipath,
                                      f"{kloc}/$recursiveRef", tptr, scope, dialect)
-            applicator_unit("$recursiveRef", cu["valid"], [cu],
-                            message="instance does not match the $recursiveRef target")
+            node.units.append(cu)  # adopt the target result
+            if not cu["valid"]:
+                node.valid = False
             merge_inplace(cu, cp, ci)
 
         # --- OpenAPI discriminator (verdict only — dispatch internals stay

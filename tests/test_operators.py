@@ -363,3 +363,26 @@ def test_brute_force_topk_arrow_matches_jvm(spark):
            for r in brute_force_topk_arrow(emb, q, k=8).collect()}
     assert jvm.keys() == arw.keys()
     assert all(abs(jvm[k] - arw[k]) < 1e-5 for k in jvm)
+
+
+def test_dup_clusters_and_keep_representatives(spark):
+    """Connected components via iterative min-label propagation: chains,
+    pairs and path graphs resolve to min-id clusters; keep-representatives
+    drops exactly the non-head members."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.dedup import (
+        dedup_keep_representatives,
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "a long, b long")
+    got = sorted((r.id, r.cluster_id) for r in dup_clusters(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20), (23, 20)]
+
+    df = spark.range(30).select(F.col("id").alias("doc_id"))
+    kept = sorted(r.doc_id for r in dedup_keep_representatives(df, pairs, "doc_id").collect())
+    dropped = {2, 3, 11, 21, 22, 23}
+    assert kept == [i for i in range(30) if i not in dropped]

@@ -225,3 +225,20 @@ def test_verbose_contains_is_leaf():
         ["a", 1], "verbose")
     c = _find(tree, "/contains")
     assert c["valid"] and _child_klocs(c) == []
+
+
+def test_verbose_ref_adopts_target_unit():
+    """Reference Ref.validate (core.rb:66-68) returns the target's result
+    as the $ref keyword unit — no wrapper level (round-4 close of the last
+    documented verbose-shape divergence)."""
+    from json_schemer_spark import compile_schema
+
+    plan = compile_schema({"$defs": {"s": {"type": "string", "minLength": 2}},
+                           "$ref": "#/$defs/s"})
+    tree = plan.validate_value("x", "verbose")
+    ref_unit = _find(tree, "/$ref")
+    assert ref_unit is not None and not ref_unit["valid"]
+    # children are the TARGET's keyword units directly
+    assert _child_klocs(ref_unit) == ["/$ref/minLength", "/$ref/type"]
+    # the absolute location points into the target's lexical position
+    assert ref_unit["absoluteKeywordLocation"].endswith("#/$defs/s")
