@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_ann_topk_arrow": q31_ann_topk_arrow,
         "q32_numeric_quantiles": q32_numeric_quantiles,
         "q33_dup_clusters": q33_dup_clusters,
+        "q34_ann_ivf_recall": q34_ann_ivf_recall,
     }
 
 
@@ -501,6 +502,31 @@ def q33_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = neardup_pairs_exact(emb, threshold=0.42).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return dup_clusters(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+def q34_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (k-means inverted lists, n_probe probing, exact
+    rerank within probed lists) — the partition-based alternative to q27's
+    SRP-LSH, recall-graded against the exact top-k over the same seeded
+    query sample. Centroids are deterministic (seeded hash-ordered sample,
+    fixed Lloyd iterations), so the output is golden-fixture verifiable.
+    On the near-isotropic synthetic embeddings (ANN-hostile) the documented
+    probe budget is n_probe=6 of 16 lists; clustered-data recall >= 0.95 is
+    asserted in tests/test_operators.py."""
+    from json_schemer_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+        sample_queries,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, dim=64, n_centroids=16, sample_n=500)
+    queries_df = sample_queries(emb, 5, seed=2026)
+    exact = brute_force_topk(emb, queries_df, k=10)
+    approx = ivf_topk(emb, queries_df, cents, k=10, n_probe=6)
+    return ann_recall(approx, exact, k=10).select("query_id", "n_hits", "recall")
 
 
 def _ensure_oracle_caches() -> None:

@@ -444,3 +444,119 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-partitioned alternative to SRP-LSH
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> list:
+    """Deterministic k-means centroids for IVF partitioning, trained
+    driver-side on a seeded hash-ordered sample (numpy Lloyd iterations,
+    fixed count — no RNG state, reproducible across runs/sessions).
+
+    Centroid training reads ``sample_n`` vectors once; at crawl scale the
+    sample, not the corpus, bounds the cost — the standard IVF recipe."""
+    import numpy as np
+
+    rows = sample_queries(df, sample_n, id_col=id_col, seed=seed).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:n_centroids].copy()  # hash-ordered sample → deterministic init
+    for _ in range(iters):
+        # cosine assignment == dot with normalized rows
+        a = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = Xn[a == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C.tolist()
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids →
+    (id, vec, norm, centroid_id) rows (one per probe). Arrow-batched
+    numpy matmul; the centroid matrix rides in the closure (tiny)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    out_schema = f"{id_col} long, {vec_col} array<float>, __vnorm double, centroid_id int"
+
+    def assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            S = (V / norms[:, None]) @ C.T
+            top = np.argsort(-S, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                vec_col: [list(v) for v in np.repeat(pdf[vec_col].to_numpy(), n_probe)],
+                "__vnorm": np.repeat(norms, n_probe),
+                "centroid_id": top.ravel().astype("int32"),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid
+    (1 list per vector), queries probe their ``n_probe`` nearest lists,
+    exact cosine rerank within the probed lists — the k-means-partitioned
+    alternative to :func:`lsh_topk` (SURVEY: "IVF or LSH"). Candidates per
+    query ≈ n_probe·n/n_centroids; the join is a plain equi-join on
+    centroid_id that Catalyst shuffle-hashes (or broadcasts the probe
+    side), never a cross product."""
+    c = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"),
+        F.col("__vnorm").alias("__cnorm"), "centroid_id",
+    )
+    q = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
+        F.col("__vnorm").alias("__qnorm"), "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("__qvec"), F.col("__cvec"))
+             / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -24,6 +24,7 @@ QUERIES = [
     "q20_fingerprints",
     "q26_media_features",
     "q27_ann_lsh_recall",
+    "q34_ann_ivf_recall",
 ]
 
 

@@ -386,3 +386,43 @@ def test_dup_clusters_and_keep_representatives(spark):
     kept = sorted(r.doc_id for r in dedup_keep_representatives(df, pairs, "doc_id").collect())
     dropped = {2, 3, 11, 21, 22, 23}
     assert kept == [i for i in range(30) if i not in dropped]
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """IVF (k-means inverted lists + n_probe) achieves high recall where
+    locality exists — the partition-based alternative to SRP-LSH. Same
+    clustered synthetic data as the LSH test; centroids are deterministic
+    (seeded hash-ordered sample, fixed Lloyd iterations)."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    def h(seed, i, d):
+        v = 2166136261
+        for ch in f"{seed}:{i}:{d}".encode():
+            v = ((v ^ ch) * 16777619) & 0xFFFFFFFF
+        return (v / 0xFFFFFFFF) * 2.0 - 1.0
+
+    dim, n_centers, per_center = 16, 20, 20
+    rows = []
+    for c in range(n_centers):
+        center = [h("c", c, d) for d in range(dim)]
+        for j in range(per_center):
+            vec = [center[d] + 0.05 * h("n", c * 100 + j, d) for d in range(dim)]
+            rows.append((c * per_center + j, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % per_center == 0).limit(5)
+    cents = ivf_centroids(emb, dim, n_centroids=20, sample_n=400, iters=5)
+    assert cents == ivf_centroids(emb, dim, n_centroids=20, sample_n=400, iters=5)
+    exact = brute_force_topk(emb, q, k=10)
+    approx = ivf_topk(emb, q, cents, k=10, n_probe=3)
+    rec = ann_recall(approx, exact, k=10).agg(F.avg("recall").alias("r")).collect()[0].r
+    assert rec >= 0.95, f"clustered IVF recall {rec}"
+    # the probed-list join must stay an equi-join (no cross product)
+    p = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
