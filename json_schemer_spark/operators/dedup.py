@@ -515,18 +515,20 @@ def dup_clusters(
     ``(id, cluster_id)`` with ``cluster_id`` = the smallest id reachable —
     the step between pairwise candidates and keep-one-per-cluster dedup.
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbours' labels, until a fixpoint. This is
-    the simple-but-sound end of the MapReduce connected-components
-    literature (cf. Kiveris et al., "Connected Components in MapReduce and
-    Beyond") — adequate here because :func:`_bucket_pair_rows` caps every
-    bucket's pair graph at diameter ≤ ~2 (dense core + head-centred stars),
-    so the loop converges in O(log diameter) ≈ 2-4 rounds even at crawl
-    scale. Each round is one equi-join + one partial-aggregated groupBy;
-    lineage is truncated per round with ``localCheckpoint`` so the plan
-    does not grow with iterations, and convergence is detected by the
-    strictly-decreasing label sum (one scalar action per round, no extra
-    join).
+    Iterative min-label propagation WITH pointer jumping: each round every
+    vertex takes the min of (its own label, its neighbours' labels, the
+    label OF its label) — the self-join jump doubles the propagation radius
+    per round, so a diameter-D component converges in O(log D) rounds (cf.
+    the hash-to-min family in Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). The pair graphs :func:`_bucket_pair_rows` emits
+    are diameter ≤ ~2 (dense core + head-centred stars) and converge in
+    2-3 rounds; arbitrary pair sources (a 120-edge path in the tests) stay
+    correct because of the jump, and a genuinely non-converged run RAISES
+    instead of returning wrong clusters. Each round is two equi-joins + one
+    partial-aggregated groupBy; lineage is truncated per round with
+    ``localCheckpoint`` so the plan does not grow with iterations, and the
+    fixpoint is detected by the strictly-decreasing label sum (one scalar
+    action per round, no extra join).
     """
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = (
@@ -538,21 +540,38 @@ def dup_clusters(
         "id", F.col("id").alias("cluster_id")
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["v"] == labels["id"])
             .select(edges["u"].alias("id"), "cluster_id")
         )
+        # pointer jumping: also adopt the label OF my label (self-join) —
+        # turns the per-round propagation radius from +1 hop into doubling,
+        # so a diameter-D component converges in O(log D) rounds instead of
+        # O(D) (a 60-node path would otherwise exhaust max_iter and return
+        # wrong clusters SILENTLY)
+        l2 = labels.select(F.col("id").alias("__lid"), F.col("cluster_id").alias("__l2"))
+        jump = (
+            labels.join(l2, labels["cluster_id"] == l2["__lid"])
+            .select("id", F.col("__l2").alias("cluster_id"))
+        )
         labels = (
-            labels.unionByName(nbr)
+            labels.unionByName(nbr).unionByName(jump)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
         cur = labels.agg(F.sum("cluster_id").alias("s")).collect()[0].s
         if cur == prev_sum:  # min-labels decrease monotonically → fixpoint
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "raise max_iter (components of diameter up to 2^max_iter converge)"
+        )
     return labels
 
 

@@ -426,3 +426,15 @@ def test_ivf_topk_clustered_recall(spark):
     # the probed-list join must stay an equi-join (no cross product)
     p = approx._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_dup_clusters_long_path_pointer_jumping(spark):
+    """A diameter-120 path converges in O(log D) rounds via pointer
+    jumping (label-of-label adoption) — plain 1-hop propagation would
+    exhaust max_iter and the guard would raise rather than return wrong
+    clusters silently."""
+    from json_schemer_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(120)], "a long, b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs, max_iter=12).collect()}
+    assert len(got) == 121 and set(got.values()) == {0}
