@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_numeric_quantiles": q32_numeric_quantiles,
         "q33_dup_clusters": q33_dup_clusters,
         "q34_ann_ivf_recall": q34_ann_ivf_recall,
+        "q35_js_drift": q35_js_drift,
     }
 
 
@@ -527,6 +528,18 @@ def q34_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries_df, k=10)
     approx = ivf_topk(emb, queries_df, cents, k=10, n_probe=6)
     return ann_recall(approx, exact, k=10).select("query_id", "n_hits", "recall")
+
+
+def q35_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence per group vs the global distribution —
+    the symmetric, bounded, epsilon-free member of the drift family
+    (operators/drift.js_divergence; same partial-agg plan shape as PSI)."""
+    from json_schemer_spark.operators.drift import js_divergence
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = js_divergence(li, "l_extendedprice", ["l_returnflag"],
+                        n_buckets=10, lo=0.0, hi=120000.0)
+    return out.select("l_returnflag", F.round("js_divergence", 6).alias("js_divergence"))
 
 
 def _ensure_oracle_caches() -> None:
@@ -665,6 +678,38 @@ def oracle_sql() -> dict[str, str]:
                              LN((g.p + 1e-6) / (COALESCE(r.ref_p, 0.0) + 1e-6))), 6) AS psi
             FROM grp g LEFT JOIN ref r USING (bucket)
             GROUP BY g.l_returnflag
+        """,
+        "q35_js_drift": """
+            WITH bucketed AS (
+                SELECT l_returnflag,
+                       LEAST(10, GREATEST(1, CAST(FLOOR(l_extendedprice / 12000.0) AS INT) + 1)) AS bucket
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            ref AS (
+                SELECT bucket, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM bucketed) AS ref_p
+                FROM bucketed GROUP BY bucket
+            ),
+            grp AS (
+                SELECT l_returnflag, bucket,
+                       COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS p
+                FROM bucketed GROUP BY l_returnflag, bucket
+            ),
+            grid AS (
+                SELECT g.l_returnflag, r.bucket, r.ref_p
+                FROM (SELECT DISTINCT l_returnflag FROM grp) g CROSS JOIN ref r
+            ),
+            joined AS (
+                SELECT COALESCE(grid.l_returnflag, grp.l_returnflag) AS l_returnflag,
+                       COALESCE(grp.p, 0.0) AS p, COALESCE(grid.ref_p, 0.0) AS r
+                FROM grid FULL JOIN grp
+                  ON grid.l_returnflag = grp.l_returnflag AND grid.bucket = grp.bucket
+            )
+            SELECT l_returnflag,
+                   ROUND(SUM(
+                       CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + r) / 2)) ELSE 0 END +
+                       CASE WHEN r > 0 THEN 0.5 * r * LN(r / ((p + r) / 2)) ELSE 0 END
+                   ), 6) AS js_divergence
+            FROM joined GROUP BY l_returnflag
         """,
         "q12_json_props_validate": """
             WITH checks AS (

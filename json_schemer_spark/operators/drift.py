@@ -127,3 +127,70 @@ def ks_per_group(
         .groupBy(*group_cols)
         .applyInPandas(ks_fn, schema=out_schema)
     )
+
+
+def js_divergence(
+    df: DataFrame,
+    column: str,
+    group_cols: Sequence[str],
+    reference: Optional[DataFrame] = None,
+    n_buckets: int = 20,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Jensen–Shannon divergence of ``column``'s per-group histogram vs the
+    global (or supplied) reference → (group_cols..., js_divergence).
+
+    JS(P‖R) = ½·KL(P‖M) + ½·KL(R‖M) with M = ½(P+R): symmetric, bounded in
+    [0, ln 2], and — unlike PSI — needs no epsilon smoothing (a bucket
+    empty on one side contributes a finite p·ln 2). Same plan shape as
+    :func:`psi`: two partial-aggregated bucket counts + one broadcast join;
+    scales exactly like a groupBy at 10^12 rows.
+    """
+    col = F.col(column).cast("double")
+    if lo is None or hi is None:
+        r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo, hi = float(r.lo), float(r.hi)
+    if hi <= lo:
+        hi = lo + 1.0
+
+    def bucketed(src, c):
+        b = F.least(
+            F.lit(n_buckets),
+            F.greatest(F.lit(1), F.width_bucket(c, F.lit(lo), F.lit(hi), F.lit(n_buckets))),
+        ).alias("__bucket")
+        return src.where(c.isNotNull()), b
+
+    ref_src, ref_b = bucketed(reference if reference is not None else df,
+                              F.col(column).cast("double"))
+    ref_hist = ref_src.select(ref_b).groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__ref_n"))
+    ref_total = ref_hist.agg(F.sum("__ref_n").alias("__ref_total"))
+    ref_hist = ref_hist.crossJoin(F.broadcast(ref_total)).withColumn(
+        "__ref_p", F.col("__ref_n") / F.col("__ref_total"))
+
+    src, b = bucketed(df, col)
+    grp = src.select(*group_cols, b).groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    grp = grp.withColumn("__p", F.col("__n") / F.sum("__n").over(w))
+
+    # (group × reference-bucket) grid, full-joined with the group's own
+    # buckets: every bucket present on EITHER side contributes its term for
+    # EVERY group (a per-group-missing reference bucket still charges that
+    # group ½·r·ln 2). The grid is tiny — n_groups × n_buckets — and
+    # broadcast.
+    groups = grp.select(*group_cols).distinct()
+    grid = groups.crossJoin(F.broadcast(ref_hist.select("__bucket", "__ref_p")))
+    joined = grid.join(grp.select(*group_cols, "__bucket", "__p"),
+                       [*group_cols, "__bucket"], "full")
+    p = F.coalesce(F.col("__p"), F.lit(0.0))
+    r = F.coalesce(F.col("__ref_p"), F.lit(0.0))
+    m = (p + r) / 2
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(r > 0, 0.5 * r * F.log(r / m)).otherwise(F.lit(0.0))
+    )
+    return joined.groupBy(*group_cols).agg(F.sum(term).alias("js_divergence"))
