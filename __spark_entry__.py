@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_dup_clusters": q33_dup_clusters,
         "q34_ann_ivf_recall": q34_ann_ivf_recall,
         "q35_js_drift": q35_js_drift,
+        "q36_media_features_real": q36_media_features_real,
     }
 
 
@@ -540,6 +541,26 @@ def q35_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = js_divergence(li, "l_extendedprice", ["l_returnflag"],
                         n_buckets=10, lo=0.0, hi=120000.0)
     return out.select("l_returnflag", F.round("js_divergence", 6).alias("js_divergence"))
+
+
+def q36_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (round 4): RIFF/WAVE PCM16 and 24-bit BMP
+    payloads synthesized as genuine files and decoded by pure-stdlib
+    parsers inside one Arrow-batched mapInPandas stage — header parse,
+    sample/pixel extraction, RMS/luminance featurization. PNG/JPEG/MP4
+    remain declared stubs (need PIL/ffmpeg)."""
+    from json_schemer_spark.operators.multimodal import (
+        extract_features_real,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 1_000)
+    out = extract_features_real(media, dim=8)
+    return out.select(
+        "media_id", "kind", "decode_ok",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
 
 
 def _ensure_oracle_caches() -> None:

@@ -25,6 +25,7 @@ QUERIES = [
     "q26_media_features",
     "q27_ann_lsh_recall",
     "q34_ann_ivf_recall",
+    "q36_media_features_real",
 ]
 
 
