@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ann_ivf_recall": q34_ann_ivf_recall,
         "q35_js_drift": q35_js_drift,
         "q36_media_features_real": q36_media_features_real,
+        "q37_hll_profile": q37_hll_profile,
     }
 
 
@@ -561,6 +562,19 @@ def q36_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 8), 6).alias("f7"),
     )
+
+
+def q37_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-column HLL distinct sketches (stats.hll_sketch_profile
+    — the north rule's "distinct-count via HLL sketches" as a persistable,
+    union-able artifact). The oracle pins the sparse-exact regime
+    (low-cardinality columns); dense-regime accuracy and half-profile
+    merging are asserted in tests/test_operators.py."""
+    from json_schemer_spark.operators.stats import hll_sketch_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return hll_sketch_profile(
+        orders, ["o_orderstatus", "o_orderpriority"]).select("column", "estimate")
 
 
 def _ensure_oracle_caches() -> None:
@@ -819,6 +833,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
             )
             SELECT u AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+        """,
+        "q37_hll_profile": """
+            SELECT 'o_orderstatus' AS "column", COUNT(DISTINCT o_orderstatus) AS estimate FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders
         """,
         "q13_doc_hashes": """
             SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash

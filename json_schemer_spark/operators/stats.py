@@ -115,3 +115,51 @@ def numeric_quantiles(df, cols, probs=(0.25, 0.5, 0.75, 0.95)):
     fields = ["column"] + [f"p{int(p * 100)}" for p in probs]
     exploded = df.agg(F.array(*aggs).alias("a")).select(F.explode("a").alias("s"))
     return exploded.select(*[F.col(f"s.{f}").alias(f) for f in fields])
+
+
+def hll_sketch_profile(df, cols, lg_config_k: int = 12):
+    """Per-column MERGEABLE distinct-count sketches in one pass →
+    (column, sketch binary, estimate) — the north rule's "distinct-count
+    via HLL sketches" as a first-class artifact, not just a number:
+    profile each partition/day separately, persist the binary sketches,
+    and :func:`hll_merge_profiles` unions them later WITHOUT rescanning
+    (Datasketches HLL via Spark's hll_sketch_agg; exact in the sparse
+    regime; dense-regime relative error ~1.6% at 1σ for lg_config_k=12)."""
+    import pyspark.sql.functions as F
+
+    aggs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.hll_sketch_agg(F.col(c), F.lit(lg_config_k)).alias("sketch"),
+        )
+        for c in cols
+    ]
+    return (
+        df.agg(F.array(*aggs).alias("a"))
+        .select(F.explode("a").alias("s"))
+        .select(
+            F.col("s.column").alias("column"),
+            F.col("s.sketch").alias("sketch"),
+            F.hll_sketch_estimate("s.sketch").alias("estimate"),
+        )
+    )
+
+
+def hll_merge_profiles(*profiles):
+    """Union any number of per-column sketch profiles → one merged profile
+    with re-estimated counts. Input rows are (column, sketch, ...); merge
+    is a partial-aggregated groupBy on the column name (bytes shuffled =
+    #profiles × #columns × sketch size — scan-free incremental stats)."""
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    allp = reduce(
+        lambda a, b: a.unionByName(b),
+        [p.select("column", "sketch") for p in profiles],
+    )
+    return (
+        allp.groupBy("column")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .select("column", "sketch", F.hll_sketch_estimate("sketch").alias("estimate"))
+    )

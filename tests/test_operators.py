@@ -517,3 +517,26 @@ def test_real_wav_bmp_decode_roundtrip(spark):
     fake = synth_media(spark, 6)  # payloads are hashes with png/mp4 mimes
     res = extract_features_real(fake, dim=8).collect()
     assert res and all(not r.decode_ok for r in res)
+
+
+def test_hll_sketch_profile_mergeable(spark):
+    """Sketches are the artifact: half-profiles union to the whole-table
+    answer without rescanning, and dense-regime accuracy stays within the
+    documented few-percent band at lg_config_k=12 (1σ ≈ 1.6%)."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.stats import (
+        hll_merge_profiles,
+        hll_sketch_profile,
+    )
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 137).alias("low"), F.col("id").alias("high"))
+    whole = {r.column: r.estimate for r in hll_sketch_profile(df, ["low", "high"]).collect()}
+    assert whole["low"] == 137  # sparse regime: exact
+    assert abs(whole["high"] - 100_000) / 100_000 < 0.05
+
+    h1 = hll_sketch_profile(df.filter(F.col("high") < 50_000), ["low", "high"])
+    h2 = hll_sketch_profile(df.filter(F.col("high") >= 50_000), ["low", "high"])
+    merged = {r.column: r.estimate for r in hll_merge_profiles(h1, h2).collect()}
+    assert merged == whole  # union of half-sketches == whole-table sketch
