@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     ap.add_argument("--flag-only", action="store_true", help="verdicts only (skip violation assembly)")
     ap.add_argument("--assert-formats", action="store_true",
                     help="assert the `format` keyword (reference `format` option)")
+    ap.add_argument("--pretty", action="store_true",
+                    help="add a human-readable `pretty` message column "
+                         "(Errors.pretty sentences, all-JVM) and print "
+                         "--errors rows as sentences")
     ap.add_argument("--dialect", default=None,
                     help="force a dialect: draft4|draft6|draft7|draft2019-09|"
                          "draft2020-12|openapi30|openapi31 (default: $schema dispatch)")
@@ -59,6 +63,11 @@ def main(argv=None) -> int:
         n_failed = summary["failed"]
     else:
         out = plan.validate_json_column(df, args.content_col)
+        if args.pretty:
+            from json_schemer_spark import pretty_errors_column
+
+            out = out.withColumn("pretty", pretty_errors_column(
+                plan.schema, out["violations"], content=args.content_col))
         out.write.mode("overwrite").parquet(args.out)
         import pyspark.sql.functions as F
 
@@ -69,13 +78,22 @@ def main(argv=None) -> int:
         print(json.dumps({"rows": int(agg.n), "failed": int(agg.nf or 0)}))
         n_failed = int(agg.nf or 0)
         if args.errors:
-            for row in (
-                written.filter(~F.col("valid"))
-                .select(F.explode("violations").alias("v"))
-                .limit(args.errors)
-                .collect()
-            ):
-                print(json.dumps(row.v.asDict()))
+            if args.pretty:
+                for row in (
+                    written.filter(~F.col("valid"))
+                    .select(F.explode("pretty").alias("m"))
+                    .limit(args.errors)
+                    .collect()
+                ):
+                    print(row.m)
+            else:
+                for row in (
+                    written.filter(~F.col("valid"))
+                    .select(F.explode("violations").alias("v"))
+                    .limit(args.errors)
+                    .collect()
+                ):
+                    print(json.dumps(row.v.asDict()))
 
     spark.stop()
     return 1 if n_failed else 0
