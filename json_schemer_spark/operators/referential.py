@@ -73,3 +73,18 @@ def referential_violations(
         F.concat(F.lit("/"), F.concat_ws("/", *[F.lit(k) for k in keys])).alias("instance_pointer"),
         F.lit("referenced key not found in dimension").alias("message"),
     )
+
+
+def write_bucketed(df: DataFrame, table: str, keys, n_buckets: int = 16,
+                   sort: bool = True) -> None:
+    """Persist ``df`` as a BUCKETED (and optionally sorted) table on the
+    join keys — the pre-shuffle half of a co-located join: two tables
+    bucketed the same way join with NO exchange on either side (and no
+    sort when also sorted), which is how a repeatedly-joined 100 TB fact
+    table amortizes its shuffle once at write time. Plan proof in
+    tests/test_plans.py."""
+    keys = list(keys)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)

@@ -156,3 +156,28 @@ def test_oversize_bucket_pairs_parallel_and_exact(spark):
     finally:
         spark.conf.set(coalesce_key, old)
     assert nparts > 1, "mega-bucket ranked by a single task"
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join via bucketing (the brief's third join strategy next
+    to broadcast and salting): both sides bucketed+sorted on the key →
+    the sort-merge join runs with NO Exchange and NO Sort on either side."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.referential import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = spark.range(10_000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v"))
+        dim = spark.range(500).select(F.col("id").alias("k"))
+        write_bucketed(facts, "jss_bucket_facts", ["k"], n_buckets=8)
+        write_bucketed(dim, "jss_bucket_dim", ["k"], n_buckets=8)
+        j = spark.table("jss_bucket_facts").join(spark.table("jss_bucket_dim"), "k")
+        p = _plan(j)
+        assert "SortMergeJoin" in p, p[:900]
+        assert "Exchange" not in p, p[:900]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS jss_bucket_facts")
+        spark.sql("DROP TABLE IF EXISTS jss_bucket_dim")
