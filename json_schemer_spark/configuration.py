@@ -16,7 +16,11 @@ import contextlib
 import dataclasses
 from typing import Any, Callable, Optional
 
-DEFAULT_BASE_URI = "json-schemer://schema"
+# The engine-wide default base URI (registry.py) — imported, not redefined,
+# so an untouched Configuration really does change nothing (round-4 advice:
+# a divergent literal here silently rewrote absoluteKeywordLocation for
+# every compile_schema() call).
+from json_schemer_spark.schema.registry import DEFAULT_BASE_URI
 
 
 @dataclasses.dataclass

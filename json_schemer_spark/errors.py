@@ -203,8 +203,16 @@ def pretty_errors_column(schema: Any, violations, content=None):
                 F.concat(loc, F.lit(" does not match pattern: "), F.element_at(pmap, sp)),
             ).otherwise(msg)
         if rmap is not None:
-            # JSON pointer -> JSONPath bracket form: "" -> $, /a/b -> $['a']['b']
-            safe = ~ip.contains("~")
+            # JSON pointer -> JSONPath bracket form: "" -> $, /a/b -> $['a']['b'].
+            # Names needing pointer-unescaping (~) or that would break the
+            # bracket quoting ("'", '"', backslash) take the generic-sentence
+            # fallback HONESTLY via this predicate, instead of relying on
+            # get_json_object returning null for a mangled path (round-4
+            # advice: a quote in a property name silently degraded).
+            safe = (
+                ~ip.contains("~") & ~ip.contains("'")
+                & ~ip.contains('"') & ~ip.contains("\\")
+            )
             path = F.when(ip == "", F.lit("$")).otherwise(
                 F.concat(
                     F.lit("$['"),

@@ -526,9 +526,15 @@ def dup_clusters(
     correct because of the jump, and a genuinely non-converged run RAISES
     instead of returning wrong clusters. Each round is two equi-joins + one
     partial-aggregated groupBy; lineage is truncated per round with
-    ``localCheckpoint`` so the plan does not grow with iterations, and the
-    fixpoint is detected by the strictly-decreasing label sum (one scalar
-    action per round, no extra join).
+    ``localCheckpoint`` so the plan does not grow with iterations. The
+    fixpoint signal is TYPE-AGNOSTIC (round-4 advice: summing raw ids
+    crashes under ANSI for string ids and silently mis-converges with ANSI
+    off): per round one scalar action sums ``xxhash64(id, cluster_id)``
+    over the label table — any label change changes the sum with
+    overwhelming probability — and an unchanged sum is then CONFIRMED by a
+    changed-row count join against the previous round's labels before
+    declaring convergence, so a hash collision can delay detection by a
+    round but can never produce wrong clusters.
     """
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = (
@@ -540,6 +546,7 @@ def dup_clusters(
         "id", F.col("id").alias("cluster_id")
     )
     prev_sum = None
+    prev_labels = None
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -562,11 +569,28 @@ def dup_clusters(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(F.sum("cluster_id").alias("s")).collect()[0].s
-        if cur == prev_sum:  # min-labels decrease monotonically → fixpoint
-            converged = True
-            break
+        # type-agnostic fixpoint signal: works for string/struct ids where
+        # sum(cluster_id) would crash (ANSI) or be NULL==NULL-"converged"
+        # decimal(38,0) sum: a long sum of 64-bit hashes overflows (ANSI
+        # raises); decimal headroom covers ~1e19 rows
+        cur = labels.agg(
+            F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if cur == prev_sum and prev_labels is not None:
+            # confirm: a hash-sum collision must not declare convergence —
+            # count rows whose label actually changed since last round
+            changed = (
+                labels.alias("n")
+                .join(prev_labels.alias("p"), F.col("n.id") == F.col("p.id"))
+                .filter(F.col("n.cluster_id") != F.col("p.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
         prev_sum = cur
+        prev_labels = labels
     if not converged:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds — "

@@ -153,8 +153,12 @@ def srp_signature(vec, dim: int, n_planes: int = 16, seed: str = "jss-srp-v1"):
 
     ``vec`` may be a column NAME (preferred — the whole signature renders to
     one SQL expression, one py4j roundtrip) or a Column (compat path, built
-    plane-by-plane)."""
+    plane-by-plane). Names that are not plain identifiers (dots, spaces,
+    hyphens, …) are backtick-quoted before splicing into the SQL, so e.g.
+    ``"my col"`` resolves as one column instead of failing to parse."""
     if isinstance(vec, str):
+        if not vec.isidentifier():
+            vec = "`" + vec.replace("`", "``") + "`"
         return F.expr(_srp_sql(vec, dim, n_planes, seed))
     bits = []
     for p, plane_sql in enumerate(_plane_sqls(dim, n_planes, seed)):

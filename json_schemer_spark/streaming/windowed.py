@@ -123,7 +123,9 @@ def streaming_dedup_exact(
     continuously-ingested corpus.
 
     ``dropDuplicatesWithinWatermark`` keys the dedup state on the md5 of
-    ``text_col``; state for a hash is dropped once the watermark passes its
+    ``text_col`` (plus ``id_cols``, when given — e.g. per-tenant or
+    per-language scoping, so identical content in different scopes is NOT
+    collapsed); state for a hash is dropped once the watermark passes its
     last-seen event time + delay, so state size is bounded by the ingest
     rate × horizon instead of growing with the corpus (the property that
     matters at crawl scale — exact global dedup over an unbounded stream
@@ -137,5 +139,5 @@ def streaming_dedup_exact(
     hashed = stream_df.withColumn("content_hash", F.md5(F.col(text_col)))
     return (
         hashed.withWatermark(event_time_col, watermark_delay)
-        .dropDuplicatesWithinWatermark(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash", *(id_cols or [])])
     )

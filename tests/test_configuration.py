@@ -71,3 +71,23 @@ def test_ref_resolver_global():
     with configured(ref_resolver=lambda uri: remote):
         plan = compile_schema({"$ref": "http://example.com/int.json"})
         assert plan.valid_value(3) and not plan.valid_value("s")
+
+
+def test_default_base_uri_matches_engine_default():
+    """An untouched Configuration must not change $ref/keyword-location
+    resolution (round-4 advice: a divergent DEFAULT_BASE_URI literal here
+    silently rewrote absoluteKeywordLocation for every compile_schema)."""
+    from json_schemer_spark import CompiledSchema, compile_schema
+    from json_schemer_spark.configuration import DEFAULT_BASE_URI
+    from json_schemer_spark.schema.registry import DEFAULT_BASE_URI as ENGINE_URI
+
+    assert DEFAULT_BASE_URI == ENGINE_URI
+    schema = {"properties": {"a": {"type": "integer"}}}
+    via_config = compile_schema(schema)
+    direct = CompiledSchema(schema)
+    out_a = via_config.validate_value({"a": "x"}, output_format="basic")
+    out_b = direct.validate_value({"a": "x"}, output_format="basic")
+    assert out_a == out_b
+    locs = {e["absoluteKeywordLocation"] for e in out_a["errors"]
+            if "absoluteKeywordLocation" in e}
+    assert locs and all(u.startswith(ENGINE_URI) for u in locs), locs

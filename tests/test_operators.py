@@ -540,3 +540,46 @@ def test_hll_sketch_profile_mergeable(spark):
     h2 = hll_sketch_profile(df.filter(F.col("high") >= 50_000), ["low", "high"])
     merged = {r.column: r.estimate for r in hll_merge_profiles(h1, h2).collect()}
     assert merged == whole  # union of half-sketches == whole-table sketch
+
+def test_dup_clusters_string_ids(spark):
+    """String ids (URLs, content hashes) must cluster correctly: the
+    fixpoint signal is xxhash64-based, not sum(cluster_id) — summing raw
+    string ids crashes under ANSI mode and silently mis-converges with
+    ANSI off for paths of diameter > ~2 (round-4 advice)."""
+    from json_schemer_spark.operators.dedup import dup_clusters
+
+    # a diameter-8 path of string ids: only correct iteration converges it
+    pairs = spark.createDataFrame(
+        [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(8)],
+        "a string, b string",
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert len(got) == 9 and set(got.values()) == {"doc00"}
+
+
+def test_srp_signature_nonidentifier_column_name(spark):
+    """The SQL-rendered fast path must backtick-quote column names that are
+    not plain identifiers (dots, spaces, hyphens) — round-4 advice: they
+    previously failed to parse or resolved to the wrong thing."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.similarity import srp_signature
+
+    dim = 8
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(dim)]) for i in range(20)]
+    base = spark.createDataFrame(rows, ["id", "v"])
+    want = sorted(
+        (r.id, r.sig)
+        for r in base.select(
+            "id", srp_signature("v", dim, n_planes=12).alias("sig")
+        ).collect()
+    )
+    for name in ["my col", "emb-vec", "a.b"]:
+        df = base.withColumnRenamed("v", name)
+        got = sorted(
+            (r.id, r.sig)
+            for r in df.select(
+                "id", srp_signature(name, dim, n_planes=12).alias("sig")
+            ).collect()
+        )
+        assert got == want, name

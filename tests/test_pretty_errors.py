@@ -111,3 +111,30 @@ def test_pretty_errors_column(spark):
     # all-JVM: no Python workers in the plan
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_pretty_errors_column_quoted_property_name(spark):
+    """A required violation under a property whose NAME contains a quote
+    cannot be rendered through the JSONPath bracket form — the safe-path
+    guard must fall back to the generic sentence (round-4 advice: it
+    previously degraded via get_json_object returning null, silently)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "o'brien": {"type": "object", "required": ["x"]},
+            'q"uote': {"type": "object", "required": ["y"]},
+        },
+    }
+    plan = compile_schema(schema)
+    rows = [
+        ('{"o\'brien": {}}',),
+        ('{"q\\"uote": {}}',),
+    ]
+    df = spark.createDataFrame(rows, "content string")
+    out = plan.validate_json_column(df, "content").withColumn(
+        "pretty",
+        pretty_errors_column(schema, F.col("violations"), content="content"),
+    )
+    got = [r.pretty for r in out.collect()]
+    assert got[0] == ["property '/o'brien' is invalid: error_type=required"]
+    assert got[1] == ['property \'/q"uote\' is invalid: error_type=required']

@@ -213,3 +213,34 @@ def test_streaming_dedup_exact(spark, tmp_path):
         assert n_dup == 2, f"expected horizon-expired recrawl to re-emit, got {n_dup}"
     finally:
         q.stop()
+
+
+def test_streaming_dedup_exact_scoped_id_cols(spark, tmp_path):
+    """``id_cols`` scopes the dedup key (round-4 advice: the parameter was
+    accepted but ignored): identical content in DIFFERENT repos passes,
+    the in-repo duplicate is suppressed."""
+    from json_schemer_spark.streaming.windowed import streaming_dedup_exact
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(spark, src, "b0", [("repo-a", "same-doc", _ts(0)),
+                                    ("repo-b", "same-doc", _ts(0)),
+                                    ("repo-a", "same-doc", _ts(1))])
+
+    stream = spark.readStream.schema(SCHEMA_DDL).parquet(src)
+    deduped = streaming_dedup_exact(
+        stream, "content", "event_time",
+        watermark_delay="10 minutes", id_cols=["repo"])
+    q = (
+        deduped.select("repo", "content")
+        .writeStream.format("memory").queryName("dedup_scoped_out")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+        rows = spark.sql("select repo from dedup_scoped_out").collect()
+        assert sorted(r.repo for r in rows) == ["repo-a", "repo-b"]
+    finally:
+        q.stop()
