@@ -398,7 +398,8 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max pair cosine ≈ 0.51), so the threshold sits at the top of the real
     distribution to exercise the operator. The scale path is
     neardup_pairs_lsh (SRP buckets + exact verify, skew-safe pairing) —
-    recall-graded on clustered data in tests/test_operators.py."""
+    recall-graded on clustered data in tests/test_operators.py and
+    value-oracled end-to-end as q38_neardup_dedup_lsh (its scale twin)."""
     from json_schemer_spark.operators.similarity import neardup_pairs_exact
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -444,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_js_drift": q35_js_drift,
         "q36_media_features_real": q36_media_features_real,
         "q37_hll_profile": q37_hll_profile,
+        "q38_neardup_dedup_lsh": q38_neardup_dedup_lsh,
     }
 
 
@@ -497,7 +499,10 @@ def q33_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the embedding near-dup pairs -> cluster
     assignments (id, cluster_id = min reachable id). The iterative
     min-label propagation (dedup.dup_clusters) is hash-verified against a
-    DuckDB RECURSIVE CTE computing the same reachability fixpoint."""
+    DuckDB RECURSIVE CTE computing the same reachability fixpoint. The
+    pair INPUT here is the exact O(n²) baseline by design (oracle
+    clarity); q38_neardup_dedup_lsh oracles the same clustering fed from
+    the LSH scale path — that composition is what runs at 100 TB."""
     from json_schemer_spark.operators.dedup import dup_clusters
     from json_schemer_spark.operators.similarity import neardup_pairs_exact
 
@@ -575,6 +580,44 @@ def q37_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return hll_sketch_profile(
         orders, ["o_orderstatus", "o_orderpriority"]).select("column", "estimate")
+
+
+def q38_neardup_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-path dedup pipeline end-to-end (round-4 review ask #3):
+    SRP-LSH candidates → exact cosine verify → connected-component
+    clustering → keep one representative per cluster
+    (dedup.neardup_dedup_lsh) — the pipeline that actually runs at 100 TB,
+    where q29/q33's O(n²) exact baseline is infeasible.
+
+    Input: deterministic clustered members derived from the embeddings
+    table — the first 40 vectors each spawn 3 members that are scalar
+    multiples (×1.0/×1.05/×1.10, identical direction ⇒ within-cluster
+    cosine ≈ 1.0 and IDENTICAL SRP signatures, so LSH recall is exactly 1
+    by construction, not empirically), plus 60 untouched singletons
+    (cross-pair cosine ≤ ~0.51 ≪ 0.9). The DuckDB oracle recomputes exact
+    cosine pairs over the same members, clusters them with a RECURSIVE CTE
+    and keeps heads+singletons — a full value-level oracle for the LSH
+    path, possible because the construction makes approximate == exact
+    deterministically."""
+    from json_schemer_spark.operators.dedup import neardup_dedup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    members = (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id", "embedding",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .filter((F.col("vec_id") < 40) | (F.col("j") == 0))
+        .select(
+            (F.col("vec_id") * 10 + F.col("j")).alias("mid"),
+            F.expr(
+                "transform(embedding, x -> x * (1.0D + 0.05D * CAST(j AS DOUBLE)))"
+            ).alias("emb"),
+        )
+    )
+    out = neardup_dedup_lsh(members, dim=64, threshold=0.9, id_col="mid", vec_col="emb")
+    return out.select(F.col("mid").alias("kept_id"), "cluster_size").orderBy("kept_id")
 
 
 def _ensure_oracle_caches() -> None:
@@ -1031,5 +1074,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
             ORDER BY id_a, id_b
+        """,
+        "q38_neardup_dedup_lsh": """
+            WITH RECURSIVE members AS (
+                SELECT e.vec_id * 10 + t.j AS mid,
+                       [x * (1.0 + 0.05 * t.j) FOR x IN e.embedding] AS emb
+                FROM embeddings e CROSS JOIN (VALUES (0), (1), (2)) t(j)
+                WHERE e.vec_id < 100 AND (e.vec_id < 40 OR t.j = 0)
+            ),
+            pairs AS (
+                SELECT a.mid AS id_a, b.mid AS id_b
+                FROM members a JOIN members b ON a.mid < b.mid
+                WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+            ),
+            clusters AS (
+                SELECT u AS mid, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+            ),
+            sizes AS (
+                SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM clusters GROUP BY cluster_id
+            )
+            SELECT m.mid AS kept_id,
+                   COALESCE(s.cluster_size, 1) AS cluster_size
+            FROM members m
+            LEFT JOIN clusters c ON m.mid = c.mid
+            LEFT JOIN sizes s ON m.mid = s.cluster_id
+            WHERE c.mid IS NULL OR c.cluster_id = m.mid
+            ORDER BY kept_id
         """,
     }

@@ -161,6 +161,7 @@ def main() -> None:
         "q23_corpus_referential",
         "q27_ann_lsh_recall",
         "q29_embedding_neardup",
+        "q38_neardup_dedup_lsh",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}

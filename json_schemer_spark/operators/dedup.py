@@ -609,7 +609,56 @@ def dedup_keep_representatives(
     """Keep ONE row per near-duplicate cluster (the cluster head = smallest
     id) plus every row that appears in no pair — the end-to-end "dedup this
     corpus" operation over any candidate-pair source (exact, MinHash LSH,
-    SimHash, embedding near-dup)."""
+    SimHash, embedding near-dup). See :func:`neardup_dedup_lsh` for the
+    composed candidates→cluster→keep-one pipeline with ONE clustering
+    pass."""
     clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+def neardup_dedup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 8,
+) -> DataFrame:
+    """The composed SCALE-path dedup pipeline (round-4 review ask #3):
+    SRP-LSH candidate pairs → exact cosine verify → connected-component
+    clustering → keep one representative per cluster, in ONE clustering
+    pass (``dedup_keep_representatives`` over a separate ``dup_clusters``
+    call would cluster twice).
+
+    Returns the kept rows of ``df`` (cluster heads = smallest id, plus all
+    singletons) with an appended ``cluster_size`` column (1 for
+    singletons). This — not the O(n²) exact baseline
+    :func:`~json_schemer_spark.operators.similarity.neardup_pairs_exact` —
+    is what runs at corpus scale: candidate generation is bucketed
+    (equi-join shuffles on (table, signature) keys only), verification
+    touches candidates only, clustering is O(log D) rounds of equi-joins,
+    and the final keep-one is a pair of joins against the (small) non-head
+    and head-size sides.
+    """
+    from json_schemer_spark.operators.similarity import neardup_pairs_lsh
+
+    pairs = neardup_pairs_lsh(
+        df, dim, threshold, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables,
+    )
+    clusters = dup_clusters(pairs, a_col="id_a", b_col="id_b")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    non_heads = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    kept = df.join(non_heads, df[id_col] == non_heads["id"], "left_anti")
+    heads = sizes.withColumnRenamed("cluster_id", "__head")
+    return (
+        kept.join(heads, kept[id_col] == heads["__head"], "left")
+        .withColumn(
+            "cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
+        )
+        .drop("__head")
+    )

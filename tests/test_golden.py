@@ -26,6 +26,7 @@ QUERIES = [
     "q27_ann_lsh_recall",
     "q34_ann_ivf_recall",
     "q36_media_features_real",
+    "q38_neardup_dedup_lsh",
 ]
 
 
