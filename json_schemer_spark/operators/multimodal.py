@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode step is STUBBED (no imaging/audio libraries in this
-environment): ``decode_image_batch`` raises NotImplementedError unless the
-deterministic fake decoder is requested. Everything Spark-side is real and
-tested — schemas, ``mapInPandas`` batch shapes, partition sizing — so a
-real decoder (PIL/librosa/ffmpeg) drops in as a single function swap.
+WAV-PCM16, 24-bit BMP and non-interlaced 8-bit PNG have REAL pure-stdlib
+decoders (``decode_wav`` / ``decode_bmp`` / ``decode_png`` +
+``extract_features_real``). JPEG/MP4 decode is STUBBED (genuinely needs
+PIL/ffmpeg, absent in this environment): ``extract_features`` raises
+NotImplementedError unless the deterministic fake decoder is requested.
+Everything Spark-side is real and tested — schemas, ``mapInPandas`` batch
+shapes, partition sizing — so a real JPEG/MP4 decoder drops in as a single
+function swap.
 """
 
 from __future__ import annotations
@@ -71,8 +74,10 @@ def extract_features(
 
     if not use_fake_decoder:
         raise NotImplementedError(
-            "real image/audio decode requires PIL/librosa/ffmpeg (absent in "
-            "this environment); pass use_fake_decoder=True for the plumbing path"
+            "this generic path decodes nothing; JPEG/MP4 decode requires "
+            "PIL/ffmpeg (absent in this environment). WAV/BMP/PNG have REAL "
+            "pure-stdlib decoders — use extract_features_real. Pass "
+            "use_fake_decoder=True here for the plumbing path"
         )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -105,14 +110,17 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders for the formats pure stdlib can handle (round 4): WAV-PCM16
-# and uncompressed 24-bit BMP. PNG/JPEG/MP4 remain declared stubs (they
-# genuinely need PIL/ffmpeg, absent in this environment); with these two the
-# decode path itself — header parse, sample/pixel extraction, featurization —
-# is REAL code under test, not a hash placeholder.
+# REAL decoders for the formats pure stdlib can handle: WAV-PCM16 and
+# uncompressed 24-bit BMP (round 4), and non-interlaced 8-bit PNG (round 5 —
+# zlib + struct are all it needs: critical-chunk parse with CRC check,
+# inflate, per-scanline unfilter for all five filter types). JPEG/MP4 remain
+# declared stubs (they genuinely need PIL/ffmpeg, absent here); with these
+# three the decode path itself — header parse, sample/pixel extraction,
+# featurization — is REAL code under test, not a hash placeholder.
 # ---------------------------------------------------------------------------
 
 import struct as _struct
+import zlib as _zlib
 
 
 def synth_wav_bytes(media_id: int, seed: str = "jss-wav-v1",
@@ -206,6 +214,144 @@ def decode_bmp(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return width, height, px
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(body)) + typ + body
+        + _struct.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_bytes(media_id: int, seed: str = "jss-png-v1",
+                    width: int = 16, height: int = 16) -> bytes:
+    """A genuine non-interlaced 8-bit RGB PNG, deterministic per id — the
+    same hash-gradient pixels as :func:`synth_bmp_bytes`. Scanline filters
+    CYCLE through all five types (None/Sub/Up/Average/Paeth, y % 5) so the
+    decoder's whole unfilter path is exercised by every file."""
+    h = 2166136261
+    for ch in f"{seed}:{media_id}".encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    bpp = 3
+    stream = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        raw = bytearray()
+        for x in range(width):
+            raw += bytes((
+                (h >> 16 ^ (x + 3 * y)) % 256,     # R
+                (h >> 8 ^ (x * y)) % 256,          # G
+                (h + 7 * x + 13 * y) % 256,        # B
+            ))
+        ft = y % 5
+        stream.append(ft)
+        for i in range(len(raw)):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = raw[i]
+            elif ft == 1:
+                v = raw[i] - a
+            elif ft == 2:
+                v = raw[i] - b
+            elif ft == 3:
+                v = raw[i] - (a + b) // 2
+            else:
+                v = raw[i] - _paeth(a, b, c)
+            stream.append(v & 0xFF)
+        prev = bytes(raw)
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Parse a non-interlaced 8-bit PNG (grayscale / RGB / RGBA) →
+    (width, height, row-major top-down [(r,g,b)] pixels). Pure stdlib:
+    critical-chunk walk with CRC verification, one inflate over the
+    concatenated IDAT stream, per-scanline unfilter for all five filter
+    types. Raises ValueError on anything else (interlaced, paletted,
+    16-bit, truncated, bad CRC) — the per-row degradation contract."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(data) < len(sig) + 25 or data[: len(sig)] != sig:
+        raise ValueError("not a PNG file")
+    pos = len(sig)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (size,) = _struct.unpack(">I", data[pos: pos + 4])
+        typ = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = _struct.unpack(">I", data[pos + 8 + size: pos + 12 + size])
+        if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = _struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ilace != 0 or comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unsupported PNG ({depth=}, interlace={ilace})"
+                )
+            if ctype not in (0, 2, 6):  # gray / RGB / RGBA
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            channels = {0: 1, 2: 3, 6: 4}[ctype]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + size
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = _zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data has wrong length")
+    px: list[tuple[int, int, int]] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ft = raw[base]
+        if ft > 4:
+            raise ValueError(f"bad PNG filter type {ft}")
+        line = bytearray(raw[base + 1: base + 1 + stride])
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ft == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        for x in range(width):
+            o = x * channels
+            if channels == 1:
+                px.append((line[o], line[o], line[o]))
+            else:
+                px.append((line[o], line[o + 1], line[o + 2]))
+        prev = line
+    return width, height, px
+
+
 def wav_features(samples: list[int], dim: int) -> list[float]:
     """Per-chunk RMS over ``dim`` equal time slices, normalized to [0, 1]."""
     if not samples:
@@ -234,9 +380,9 @@ def bmp_features(width: int, height: int, px: list[tuple[int, int, int]],
 
 
 def synth_media_real(spark, n_rows: int, seed: str = "jss-media-real-v1") -> DataFrame:
-    """Media table whose payloads are REAL decodable files (even ids: WAV,
-    odd ids: BMP) — generated per Arrow batch on the executors, not the
-    driver."""
+    """Media table whose payloads are REAL decodable files (ids mod 3:
+    0 → WAV, 1 → BMP, 2 → PNG) — generated per Arrow batch on the
+    executors, not the driver."""
     import pandas as pd
 
     def gen(batches):
@@ -245,7 +391,7 @@ def synth_media_real(spark, n_rows: int, seed: str = "jss-media-real-v1") -> Dat
             rows = {"media_id": [], "kind": [], "mime": [], "width": [],
                     "height": [], "duration_ms": [], "data": []}
             for i in ids:
-                if i % 2 == 0:
+                if i % 3 == 0:
                     rows["media_id"].append(i); rows["kind"].append("audio")
                     rows["mime"].append("audio/wav")
                     rows["width"].append(None); rows["height"].append(None)
@@ -253,20 +399,25 @@ def synth_media_real(spark, n_rows: int, seed: str = "jss-media-real-v1") -> Dat
                     rows["data"].append(synth_wav_bytes(i, seed=seed))
                 else:
                     rows["media_id"].append(i); rows["kind"].append("image")
-                    rows["mime"].append("image/bmp")
+                    mime = "image/bmp" if i % 3 == 1 else "image/png"
+                    rows["mime"].append(mime)
                     rows["width"].append(16); rows["height"].append(16)
                     rows["duration_ms"].append(None)
-                    rows["data"].append(synth_bmp_bytes(i, seed=seed))
+                    rows["data"].append(
+                        synth_bmp_bytes(i, seed=seed) if i % 3 == 1
+                        else synth_png_bytes(i, seed=seed)
+                    )
             yield pd.DataFrame(rows)
 
     return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def extract_features_real(df: DataFrame, dim: int = 16) -> DataFrame:
-    """media table → features with REAL decoding for WAV-PCM16 and 24-bit
-    BMP payloads (dispatch by mime); undecodable rows get decode_ok=False
-    and zero features instead of failing the batch. Same single
-    mapInPandas stage and schema as :func:`extract_features`."""
+    """media table → features with REAL decoding for WAV-PCM16, 24-bit BMP
+    and non-interlaced 8-bit PNG payloads (dispatch by mime); undecodable
+    rows get decode_ok=False and zero features instead of failing the
+    batch. Same single mapInPandas stage and schema as
+    :func:`extract_features`."""
     import pandas as pd
 
     def run(batches):
@@ -281,9 +432,12 @@ def extract_features_real(df: DataFrame, dim: int = 16) -> DataFrame:
                     elif mime == "image/bmp":
                         w, hgt, px = decode_bmp(data)
                         feats.append(bmp_features(w, hgt, px, dim)); ok.append(True)
+                    elif mime == "image/png":
+                        w, hgt, px = decode_png(data)
+                        feats.append(bmp_features(w, hgt, px, dim)); ok.append(True)
                     else:
                         feats.append([0.0] * dim); ok.append(False)
-                except (ValueError, IndexError, _struct.error):
+                except (ValueError, IndexError, _struct.error, _zlib.error):
                     feats.append([0.0] * dim); ok.append(False)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"], "kind": pdf["kind"],

@@ -471,18 +471,21 @@ def test_js_divergence_bounds(spark):
 
 
 def test_real_wav_bmp_decode_roundtrip(spark):
-    """Round 4: the multimodal decode path is REAL for pure-stdlib formats.
-    Synthesized RIFF/WAVE PCM16 and 24-bit BMP bytes round-trip through
-    their decoders; the Spark pipeline's features match a driver-side
-    reference decode exactly; non-decodable payloads degrade to
-    decode_ok=False instead of failing the batch."""
+    """Rounds 4-5: the multimodal decode path is REAL for pure-stdlib
+    formats. Synthesized RIFF/WAVE PCM16, 24-bit BMP and non-interlaced
+    8-bit PNG bytes round-trip through their decoders; the Spark
+    pipeline's features match a driver-side reference decode exactly;
+    non-decodable payloads degrade to decode_ok=False instead of failing
+    the batch."""
     from json_schemer_spark.operators.multimodal import (
         bmp_features,
         decode_bmp,
+        decode_png,
         decode_wav,
         extract_features_real,
         synth_bmp_bytes,
         synth_media_real,
+        synth_png_bytes,
         synth_wav_bytes,
         wav_features,
     )
@@ -491,23 +494,42 @@ def test_real_wav_bmp_decode_roundtrip(spark):
     assert rate == 8000 and len(samples) == 800
     w, h, px = decode_bmp(synth_bmp_bytes(8))
     assert (w, h) == (16, 16) and len(px) == 256
+    # PNG carries the SAME hash-gradient pixels as BMP for the same
+    # (id, seed) — so the png decode (inflate + all-5-filter unfilter,
+    # the synthesizer cycles filter types per scanline) must reproduce
+    # the bmp decode exactly
+    wp, hp, pxp = decode_png(synth_png_bytes(8, seed="jss-bmp-v1"))
+    assert (wp, hp) == (w, h)
+    # BMP stores rows bottom-up, so its decode is the generator grid
+    # flipped vertically relative to PNG's top-down scanlines — row-flip
+    # one side and the pixel payloads must match exactly
+    flipped = [px[y * w:(y + 1) * w] for y in range(h)][::-1]
+    assert pxp == [p_ for row in flipped for p_ in row]
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decode_wav(b"not audio at all................................")
     with _pytest.raises(ValueError):
         decode_bmp(b"BMgarbage")
+    good = synth_png_bytes(3)
+    for mutant in [good[:40], b"\x89PNG\r\n\x1a\nXXXXXXXXXXXXXXXXXXXXXXXXXXX",
+                   good[:50] + bytes([good[50] ^ 0xFF]) + good[51:]]:
+        with _pytest.raises(ValueError):
+            decode_png(mutant)
 
-    media = synth_media_real(spark, 20)
+    media = synth_media_real(spark, 21)
     out = {r.media_id: r for r in extract_features_real(media, dim=8).collect()}
-    assert len(out) == 20 and all(r.decode_ok for r in out.values())
+    assert len(out) == 21 and all(r.decode_ok for r in out.values())
     # features match a driver-side reference decode bit-for-bit
-    for mid in (0, 1, 6, 13):
-        if mid % 2 == 0:
+    for mid in (0, 1, 2, 6, 13, 20):
+        if mid % 3 == 0:
             _, s = decode_wav(synth_wav_bytes(mid, seed="jss-media-real-v1"))
             want = wav_features(s, 8)
-        else:
+        elif mid % 3 == 1:
             ww, hh, pp = decode_bmp(synth_bmp_bytes(mid, seed="jss-media-real-v1"))
+            want = bmp_features(ww, hh, pp, 8)
+        else:
+            ww, hh, pp = decode_png(synth_png_bytes(mid, seed="jss-media-real-v1"))
             want = bmp_features(ww, hh, pp, 8)
         got = list(out[mid].features)
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want)), mid
