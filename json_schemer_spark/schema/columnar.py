@@ -96,6 +96,41 @@ class Unsupported(Exception):
     """Schema outside the columnar subset → interpreter tier."""
 
 
+# The bounded-unroll sentinel for cyclic $ref (round 5): an INERT schema —
+# _check ignores the unknown keyword, _lower emits no constraints — whose
+# identity marks "beyond the unrolled depth". build_route_probe() finds these
+# by identity and emits a Column that is true iff a row has instance data at
+# any marker position; such rows ride the interpreter tier.
+ROUTE_MARKER: dict = {"x-jss-route-marker": True}
+
+# How many times one $ref target may be re-entered along a single inlining
+# path before the next re-entry becomes a ROUTE_MARKER. 2 keeps unrolled
+# plans small (the _cost budget still gates pathological cycle bodies);
+# instances deeper than 2 cycle iterations route to the interpreter.
+_UNROLL_BUDGET = 2
+
+# Keywords whose SUBSCHEMAS apply to a DEEPER instance location — crossing
+# one of these between cycle re-entries is what makes bounded unrolling
+# terminate per row (in-place applicators like allOf/not recurse on the
+# same instance node forever).
+_INSTANCE_EDGE_KWS = frozenset({
+    "properties", "patternProperties", "additionalProperties",
+    "items", "prefixItems", "additionalItems", "contains",
+    "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+})
+
+
+def has_route_markers(schema: Any) -> bool:
+    """True if the prepared (inlined) tree contains any ROUTE_MARKER."""
+    if schema is ROUTE_MARKER:
+        return True
+    if isinstance(schema, dict):
+        return any(has_route_markers(v) for v in schema.values())
+    if isinstance(schema, list):
+        return any(has_route_markers(v) for v in schema)
+    return False
+
+
 def _esc(token: str) -> str:
     """JSON-pointer token escape (RFC 6901)."""
     return token.replace("~", "~0").replace("/", "~1")
@@ -126,15 +161,34 @@ def _resolve_pointer(doc: Any, pointer: str) -> Any:
 
 
 def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
-    """Inline acyclic ``$ref`` targets at compile time.
+    """Inline ``$ref`` targets at compile time; cyclic refs unroll to a
+    bounded depth with per-row routing markers (round 5).
 
     With a :class:`Registry` (the production path through CompiledSchema),
     resolution handles base-URI rebinding, ``$id``/``$anchor`` and remote
     refs — anything the general resolver can resolve STATICALLY inlines.
-    Without one, only same-document JSON-pointer refs resolve. Cyclic and
-    dynamic refs raise :class:`Unsupported` and fall back to the
-    interpreter tier. Drafts ≤7 replace siblings (schema.rb:384-395);
-    modern drafts keep siblings adjacent and hoist the target into allOf.
+    Without one, only same-document JSON-pointer refs resolve.
+
+    CYCLIC ``$ref`` (reference schema.rb:175-217 resolves these lazily at
+    validation time): a cycle that consumes instance depth between
+    re-entries (descends through properties/items/…) is unrolled
+    ``_UNROLL_BUDGET`` times; the next re-entry becomes :data:`ROUTE_MARKER`
+    — an inert ``true`` schema whose INSTANCE position, if a row has data
+    there, means the unrolled plan cannot decide that row. The caller
+    routes exactly those rows to the interpreter tier
+    (:func:`build_route_probe`); rows whose instances stay shallower get
+    exact pure-Column verdicts, because an applicator never applies a
+    subschema to a missing instance location. A cycle that makes NO
+    instance progress between re-entries (``{"$ref": "#"}`` at the same
+    node) still raises :class:`Unsupported` — unrolling cannot terminate
+    it. Cyclic dynamic refs also still raise (scope-dependent).
+
+    Drafts ≤7 replace siblings (schema.rb:384-395); modern drafts keep
+    siblings adjacent and hoist the target into allOf. ``$defs`` /
+    ``definitions`` members are copied verbatim instead of walked:
+    resolution always reads the ORIGINAL document, the lowering never
+    evaluates definitions directly, and walking them used to reject whole
+    schemas for cycles in UNUSED definitions.
     """
     if not isinstance(schema, (dict, bool)):
         raise Unsupported("non-dict schema")
@@ -250,10 +304,14 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             elif _anchor_competitors(frag, target):
                 raise Unsupported("$dynamicAnchor registered after static resolve")
 
-    def walk(node: Any, stack: tuple) -> Any:
+    def walk(node: Any, stack: tuple, idepth: int) -> Any:
         """Walk SCHEMA positions only — enum/const/default members and
         unknown-keyword values are data, never rewritten (a `$ref` key
-        inside an enum member is a literal, suite draft4 enum.json trap)."""
+        inside an enum member is a literal, suite draft4 enum.json trap).
+
+        ``stack`` holds ``(id(target), idepth_at_entry)`` per inlined ref
+        along this path; ``idepth`` counts instance-consuming applicator
+        edges crossed since the root (the cycle-progress measure)."""
         if not isinstance(node, dict):
             return node
         if node is not schema and any(k in node for k in rebinding):
@@ -271,25 +329,31 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
         for dkw, active in (("$dynamicRef", dialect.has_dynamic_ref),
                             ("$recursiveRef", dialect.has_recursive_ref)):
             if active and isinstance(node.get(dkw), str):
-                if len(stack) > 32:
+                if len(stack) > 48:
                     raise Unsupported("$ref nesting too deep")
                 raw = resolve_dynamic_static(node, dkw, node[dkw])
                 tkey = id(raw)
-                if tkey in stack:
+                if any(k == tkey for k, _ in stack):
                     raise Unsupported(f"cyclic {dkw}")
-                dyn_targets.append(walk(raw, stack + (tkey,)))
+                dyn_targets.append(walk(raw, stack + ((tkey, idepth),), idepth))
                 node = {k: v for k, v in node.items() if k != dkw}
 
         ref = node.get("$ref")
         target = None
         if isinstance(ref, str):
-            if len(stack) > 32:
+            if len(stack) > 48:
                 raise Unsupported("$ref nesting too deep")
             raw_target = resolve(node, ref)
             tkey = id(raw_target)
-            if tkey in stack:
-                raise Unsupported(f"cyclic $ref {ref!r}")
-            target = walk(raw_target, stack + (tkey,))
+            visits = [d for k, d in stack if k == tkey]
+            if visits and visits[-1] == idepth:
+                # re-entry without consuming instance depth: unrolling can
+                # never terminate this per row → interpreter tier
+                raise Unsupported(f"cyclic $ref {ref!r} without instance progress")
+            if len(visits) >= _UNROLL_BUDGET:
+                target = ROUTE_MARKER
+            else:
+                target = walk(raw_target, stack + ((tkey, idepth),), idepth)
             siblings = {k: v for k, v in node.items() if k != "$ref"}
             if not dyn_targets and (dialect.exclusive_ref or not any(
                 k for k in siblings if k not in ("$defs", "definitions")
@@ -302,25 +366,31 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
         out = {}
         for kw, val in node.items():
             shape = KEYWORD_SHAPES.get(kw)
+            kid = idepth + 1 if kw in _INSTANCE_EDGE_KWS else idepth
             if shape is None:
                 out[kw] = val
+            elif kw in ("$defs", "definitions"):
+                # passive containers: never evaluated directly; refs into
+                # them resolve against the ORIGINAL document, so walking
+                # (and rejecting cycles in UNUSED definitions) is pointless
+                out[kw] = val
             elif shape == SCHEMA_VALUE:
-                out[kw] = walk(val, stack)
+                out[kw] = walk(val, stack, kid)
             elif shape == SCHEMA_LIST:
-                out[kw] = [walk(s, stack) for s in val] if isinstance(val, list) else val
+                out[kw] = [walk(s, stack, kid) for s in val] if isinstance(val, list) else val
             elif shape == SCHEMA_MAP:
                 out[kw] = (
-                    {k: walk(s, stack) for k, s in val.items()}
+                    {k: walk(s, stack, kid) for k, s in val.items()}
                     if isinstance(val, dict) else val
                 )
             elif shape == SCHEMA_OR_LIST:
                 out[kw] = (
-                    [walk(s, stack) for s in val] if isinstance(val, list)
-                    else walk(val, stack)
+                    [walk(s, stack, kid) for s in val] if isinstance(val, list)
+                    else walk(val, stack, kid)
                 )
             elif shape == DEPENDENCIES:
                 out[kw] = (
-                    {k: (s if isinstance(s, list) else walk(s, stack))
+                    {k: (s if isinstance(s, list) else walk(s, stack, kid))
                      for k, s in val.items()}
                     if isinstance(val, dict) else val
                 )
@@ -329,7 +399,7 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             out["allOf"] = hoisted + list(out.get("allOf") or [])
         return out
 
-    inlined = walk(schema, ())
+    inlined = walk(schema, (), 0)
     recheck_dynamic()
     return inlined
 
@@ -1978,8 +2048,143 @@ def _type_pred(get, ts, t: str, dialect: Dialect, numkey, deckey, is_numeric):
 # entry point
 # ---------------------------------------------------------------------------
 
+def build_route_probe(schema: Any, dialect: Dialect):
+    """Per-row tier-routing probe for a prepared tree containing
+    :data:`ROUTE_MARKER` sentinels (bounded cyclic-$ref unroll, round 5).
+
+    Returns ``None`` when the tree has no markers; otherwise a function
+    mapping the JSON-string content Column to a boolean Column that is TRUE
+    iff the row's instance has data at (an over-approximation of) any
+    marker's instance position — exactly the rows the unrolled pure-Column
+    plan cannot decide, because a marker's verdict only matters when its
+    instance location exists. The over-approximation ignores branch gating
+    (anyOf/oneOf/not/if all recurse unconditionally) and pattern matching
+    (patternProperties probes every property value), which can only route
+    MORE rows to the interpreter — never fewer — so the split stays sound.
+
+    The probe is a pure Column expression (nested ``exists`` HOFs over
+    variant casts along marker paths only), so it rides the same scan as
+    the fast tier.
+    """
+    import pyspark.sql.functions as F
+
+    def obj(v):
+        return F.try_variant_get(v, "$", "map<string,variant>")
+
+    def arr(v):
+        return F.try_variant_get(v, "$", "array<variant>")
+
+    def build(node):
+        """fn(variant Column) -> boolean Column, or None if the subtree has
+        no markers (schema positions only — markers are inserted by
+        inline_refs at schema positions exclusively, so identity search
+        cannot hit data members)."""
+        if node is ROUTE_MARKER:
+            return lambda v: v.isNotNull()
+        if not isinstance(node, dict) or not has_route_markers(node):
+            return None
+        fns = []
+
+        def same_node(sub):
+            p = build(sub)
+            if p is not None:
+                fns.append(p)
+
+        for kw in ("allOf", "anyOf", "oneOf"):
+            val = node.get(kw)
+            if isinstance(val, list):
+                for s in val:
+                    same_node(s)
+        for kw in ("not", "if", "then", "else"):
+            same_node(node.get(kw))
+        for kw in ("dependentSchemas", "dependencies"):
+            val = node.get(kw)
+            if isinstance(val, dict):
+                for s in val.values():
+                    if not isinstance(s, list):
+                        same_node(s)
+
+        props = node.get("properties")
+        if isinstance(props, dict):
+            for k, s in props.items():
+                p = build(s)
+                if p is not None:
+                    fns.append(
+                        lambda v, k=k, p=p: p(F.element_at(obj(v), k))
+                    )
+        for kw in ("patternProperties",):
+            val = node.get(kw)
+            if isinstance(val, dict):
+                for s in val.values():
+                    p = build(s)
+                    if p is not None:
+                        fns.append(
+                            # NB: wrap p in a unary lambda — PySpark calls
+                            # multi-arg callables with (x, i) (HOF arity trap)
+                            lambda v, p=p: F.exists(
+                                F.map_values(obj(v)), lambda x: p(x)
+                            )
+                        )
+        for kw in ("additionalProperties", "unevaluatedProperties"):
+            p = build(node.get(kw))
+            if p is not None:
+                fns.append(
+                    lambda v, p=p: F.exists(F.map_values(obj(v)), lambda x: p(x))
+                )
+        if build(node.get("propertyNames")) is not None:
+            fns.append(lambda v: F.size(F.map_keys(obj(v))) > 0)
+
+        for kw in ("additionalItems", "unevaluatedItems", "contains"):
+            p = build(node.get(kw))
+            if p is not None:
+                fns.append(lambda v, p=p: F.exists(arr(v), lambda x: p(x)))
+        items = node.get("items")
+        if isinstance(items, list):
+            for i, s in enumerate(items):
+                p = build(s)
+                if p is not None:
+                    fns.append(lambda v, i=i, p=p: p(F.get(arr(v), i)))
+        else:
+            p = build(items)
+            if p is not None:
+                fns.append(lambda v, p=p: F.exists(arr(v), lambda x: p(x)))
+        prefix = node.get("prefixItems")
+        if isinstance(prefix, list):
+            for i, s in enumerate(prefix):
+                p = build(s)
+                if p is not None:
+                    fns.append(lambda v, i=i, p=p: p(F.get(arr(v), i)))
+
+        if not fns:
+            # markers only under passive positions ($defs/annotations):
+            # never evaluated, never routed
+            return None
+
+        def combined(v, fns=tuple(fns)):
+            out = None
+            for f in fns:
+                c = f(v)
+                out = c if out is None else (out | c)
+            return out
+
+        return combined
+
+    root_fn = build(schema)
+    if root_fn is None:
+        return None
+
+    def probe(content_col):
+        v = F.when(
+            content_col.isNull(), F.parse_json(F.lit("null"))
+        ).otherwise(F.try_parse_json(content_col))
+        return F.coalesce(root_fn(v), F.lit(False))
+
+    return probe
+
+
 def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dialect,
-                                 registry: Any = None, prepared: bool = False):
+                                 registry: Any = None, prepared: bool = False,
+                                 allow_markers: bool = False):
     """Pure-Column validation: df + ``valid`` + ``violations`` columns.
 
     Chained projections over one scan (parse → typed views by dependency
@@ -1996,6 +2201,15 @@ def validate_json_column_lowered(df, content_col: str, schema: Any, dialect: Dia
 
     if not prepared:  # callers holding a prepare() result skip the re-walk
         schema = prepare(schema, dialect, registry=registry)
+    if not allow_markers and has_route_markers(schema):
+        # a bounded-unroll tree treats beyond-depth sites as `true`; running
+        # it WITHOUT per-row routing would silently accept deep rows — the
+        # caller must split on build_route_probe() first and say so
+        raise Unsupported(
+            "prepared tree contains route markers; use the hybrid path "
+            "(CompiledSchema.validate_json_column) or pass allow_markers=True "
+            "after routing deep rows to the interpreter"
+        )
 
     content = F.col(content_col)
     # NULL content is JSON null (parity with the interpreter tier);

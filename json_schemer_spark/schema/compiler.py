@@ -263,14 +263,39 @@ class CompiledSchema:
         if prepared is not None:
             from json_schemer_spark.schema.columnar import (
                 Unsupported,
+                build_route_probe,
                 validate_json_column_lowered,
             )
 
             try:
-                return validate_json_column_lowered(
-                    df, content_col, prepared, self._lowering_dialect(),
+                probe = build_route_probe(prepared, self._lowering_dialect())
+                if probe is None:
+                    return validate_json_column_lowered(
+                        df, content_col, prepared, self._lowering_dialect(),
+                        registry=self._evaluator.registry, prepared=True,
+                    )
+                # Hybrid per-row tier routing (round 5): the prepared tree is
+                # a bounded unroll of a cyclic $ref — rows whose instances
+                # have data beyond the unrolled depth (probe true) cannot be
+                # decided by the pure-Column plan and ride the interpreter;
+                # everything shallower gets exact columnar verdicts. The
+                # split is two filtered branches of one source (each scan
+                # prunes early); the interpreter side only pays Python cost
+                # for the deep tail.
+                import pyspark.sql.functions as F
+
+                rcol = "__jss_route__"
+                routed = df.withColumn(rcol, probe(F.col(content_col)))
+                fast = validate_json_column_lowered(
+                    routed.filter(~F.col(rcol)).drop(rcol), content_col,
+                    prepared, self._lowering_dialect(),
                     registry=self._evaluator.registry, prepared=True,
+                    allow_markers=True,
                 )
+                slow = self._validate_with_interpreter(
+                    routed.filter(F.col(rcol)).drop(rcol), content_col
+                )
+                return fast.unionByName(slow)
             except (Unsupported, OverflowError):
                 # belt + braces: anything the lowering rejects mid-build
                 # (e.g. complexity backstops) falls back gracefully

@@ -16,7 +16,12 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from json_schemer_spark.schema.columnar import lowerable, validate_json_column_lowered
+from json_schemer_spark.schema.columnar import (
+    Unsupported,
+    build_route_probe,
+    prepare,
+    validate_json_column_lowered,
+)
 from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
 from json_schemer_spark.schema.interpreter import Evaluator
 
@@ -66,7 +71,7 @@ def rand_schema(rng: random.Random, depth: int = 0) -> dict:
             "additionalProperties", "patternProperties", "propertyNames",
             "dependentRequired", "allOf", "anyOf", "oneOf", "not", "ifthen",
             "minmaxItems", "minmaxProps", "multipleOf", "ref",
-            "dependentSchemas", "unevaluated"]
+            "dependentSchemas", "unevaluated", "recref"]
     if depth >= 2:
         pool = pool[:10]
     for kw in rng.sample(pool, min(n_kw, len(pool))):
@@ -138,9 +143,32 @@ def rand_schema(rng: random.Random, depth: int = 0) -> dict:
             target = rng.choice(["unevaluatedProperties", "unevaluatedItems"])
             s[target] = False if rng.random() < 0.5 else rand_schema(rng, depth + 1)
         elif kw == "ref" and depth == 0:
-            s["$defs"] = {"d": rand_schema(rng, depth + 1)}
+            s.setdefault("$defs", {})["d"] = rand_schema(rng, depth + 1)
             s.setdefault("properties", {})["r"] = {"$ref": "#/$defs/d"}
+        elif kw == "recref" and depth == 0:
+            # round-5: CYCLIC refs — bounded unroll + per-row routing.
+            # The cycle re-enters through an instance-consuming edge
+            # (properties or items), which is the lowerable shape; the
+            # routing probe sends instances deeper than the unroll budget
+            # to the interpreter, so deep rand/chain instances exercise
+            # BOTH sides of the hybrid split.
+            body = rand_schema(rng, 1)
+            if rng.random() < 0.5:
+                body.setdefault("properties", {})["a"] = {"$ref": "#/$defs/rec"}
+            else:
+                body["items"] = {"$ref": "#/$defs/rec"}
+            s.setdefault("$defs", {})["rec"] = body
+            s.setdefault("properties", {})["a"] = {"$ref": "#/$defs/rec"}
     return s
+
+
+def deep_value(rng: random.Random):
+    """A deliberately DEEP instance (chains of 'a' objects / arrays) so the
+    recursive-schema draws route some rows past the unroll budget."""
+    v = rand_value(rng, 2)
+    for _ in range(rng.randrange(3, 7)):
+        v = {"a": v} if rng.random() < 0.7 else [v]
+    return v
 
 
 def main() -> int:
@@ -156,36 +184,55 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    cases, n_lowerable = [], 0
+    cases, n_hybrid = [], 0
     while len(cases) < N_SCHEMAS:
         schema = rand_schema(rng)
-        if not lowerable(schema, dialect):
+        try:
+            prepped = prepare(schema, dialect)
+        except (Unsupported, OverflowError):
             continue
-        n_lowerable += 1
-        instances = [rand_value(rng) for _ in range(N_INSTANCES)]
+        probe = build_route_probe(prepped, dialect)
+        if probe is not None:
+            n_hybrid += 1
+        instances = [rand_value(rng) for _ in range(N_INSTANCES - 4)]
+        instances += [deep_value(rng) for _ in range(4)]
         ev = Evaluator(schema, dialect=dialect)
         expected = [bool(ev.valid(v)) for v in instances]
-        cases.append((schema, instances, expected))
+        cases.append((schema, prepped, probe, instances, expected))
 
     mismatches = []
+    n_routed = 0
     for start in range(0, len(cases), BATCH):
         outs = []
-        for idx, (schema, instances, expected) in enumerate(cases[start:start + BATCH]):
+        for idx, (schema, prepped, probe, instances, expected) in enumerate(
+            cases[start:start + BATCH]
+        ):
             df = spark.createDataFrame(
                 [(start + idx, i, expected[i], json.dumps(v))
                  for i, v in enumerate(instances)],
                 "sidx int, cidx int, expected boolean, content string",
             )
-            out = validate_json_column_lowered(df, "content", schema, dialect)
+            if probe is not None:
+                # hybrid: rows the probe routes ride the interpreter in
+                # production (whose verdicts ARE `expected` here) — compare
+                # the lowered plan on the fast-path rows only
+                df = df.withColumn("__r", probe(F.col("content")))
+                n_routed += df.filter("__r").count()
+                df = df.filter(~F.col("__r")).drop("__r")
+            out = validate_json_column_lowered(
+                df, "content", prepped, dialect, prepared=True,
+                allow_markers=True,
+            )
             outs.append(out.select("sidx", "cidx", "expected", "valid"))
         allout = reduce(lambda a, b: a.unionByName(b), outs)
         for r in allout.filter(F.col("valid") != F.col("expected")).collect():
-            schema, instances, _ = cases[r.sidx]
+            schema, _, _, instances, _ = cases[r.sidx]
             mismatches.append((json.dumps(schema)[:160],
                                json.dumps(instances[r.cidx])[:80],
                                r.expected, r.valid))
 
     print(f"dialect={dialect.name} schemas={len(cases)} instances_each={N_INSTANCES} "
+          f"hybrid={n_hybrid} routed_rows={n_routed} "
           f"mismatches={len(mismatches)}")
     for m in mismatches[:15]:
         print("MISMATCH schema:", m[0])

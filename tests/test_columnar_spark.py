@@ -301,3 +301,76 @@ def test_data_dependent_unevaluated_lowering(spark):
         out = plan.validate_json_column(df, "content")
         bad = out.filter(F.col("valid") != F.col("expected")).collect()
         assert not bad, f"{json.dumps(schema)[:90]}: {bad[:5]}"
+
+
+def test_cyclic_ref_hybrid_routing(spark):
+    """Round 5: cyclic $ref schemas lower via bounded unroll + per-row tier
+    routing. Shallow instances get exact pure-Column verdicts; instances
+    with data beyond the unrolled depth route to the interpreter — verdicts
+    match the pure-interpreter run at EVERY depth, and the routing probe is
+    visible as a split plan (one interpreter branch, one columnar branch)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.schema.columnar import (
+        ROUTE_MARKER,
+        build_route_probe,
+        has_route_markers,
+    )
+
+    schema = {
+        "$defs": {"node": {
+            "type": "object",
+            "required": ["val"],
+            "properties": {
+                "val": {"type": "integer"},
+                "next": {"$ref": "#/$defs/node"},
+            },
+            "additionalProperties": False,
+        }},
+        "$ref": "#/$defs/node",
+    }
+    plan = compile_schema(schema)
+    assert plan.is_lowerable()
+    assert has_route_markers(plan._prepared_schema())
+    assert build_route_probe(plan._prepared_schema(), plan.dialect) is not None
+
+    def chain(n, bad_at=None):
+        node = {"val": "BAD" if bad_at == n else n}
+        for i in range(n - 1, -1, -1):
+            node = {"val": "BAD" if bad_at == i else i, "next": node}
+        return node
+
+    rows = []
+    for d in [0, 1, 2, 3, 4, 7]:
+        rows.append((f"ok{d}", json.dumps(chain(d))))
+        rows.append((f"tipbad{d}", json.dumps(chain(d, bad_at=d))))
+    rows += [("midbad", json.dumps(chain(6, bad_at=4))),
+             ("extra", json.dumps({"val": 1, "zzz": 2})),
+             ("notobj", "[1,2]"), ("parsefail", "{nope"), ("nul", None)]
+    df = spark.createDataFrame(rows, "name string, content string")
+    hyb = {r.name: r.valid for r in plan.validate_json_column(df, "content").collect()}
+    itp = {r.name: r.valid for r in plan.validate_json_column(
+        df, "content", force_interpreter=True).collect()}
+    assert hyb == itp, {k: (hyb[k], itp[k]) for k in itp if hyb[k] != itp[k]}
+    assert hyb["ok7"] and not hyb["tipbad7"] and not hyb["midbad"]
+
+    # the hybrid plan is a union: exactly ONE interpreter (Python) branch
+    p = plan.validate_json_column(df, "content")._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInPandas") == 1
+
+    # a cycle with NO instance progress between re-entries cannot unroll
+    noprog = {"$defs": {"l": {"allOf": [{"$ref": "#/$defs/l"}]}},
+              "$ref": "#/$defs/l"}
+    assert not compile_schema(noprog).is_lowerable()
+
+    # a cycle only inside UNUSED $defs no longer blocks lowering, and needs
+    # no routing (the marker position is passive)
+    unused = {"$defs": {"l": {"properties": {"x": {"$ref": "#/$defs/l"}}}},
+              "type": "object"}
+    uplan = compile_schema(unused)
+    assert uplan.is_lowerable()
+    assert build_route_probe(uplan._prepared_schema(), uplan.dialect) is None
+    assert ROUTE_MARKER == {"x-jss-route-marker": True}
