@@ -21,8 +21,11 @@ Unit fields follow the 2019-09/2020-12 output spec: ``valid``,
 ``absoluteKeywordLocation`` (resource base URI + lexical pointer),
 ``instanceLocation``, and ``error``/``annotation``; children sit under
 ``errors``/``annotations`` per the unit's own validity (output.rb:16).
-Known divergence from the reference (documented, not hidden): keyword
-units for in-place applicators carry this implementation's error messages.
+Keyword-unit ``error`` strings use the REFERENCE's wording (each vocab
+class's ``error`` method + result.rb:225 ``formatted_instance_location``,
+round-5 close of the last documented divergence); keyword values
+interpolate Ruby ``to_s``-style (bare strings, true/false, JSON for
+arrays — ``_rb``).
 The reference's ``ignore_nested`` flag and subresult adoption ARE modeled
 (round-4): ``oneOf`` with >1 match and ``contains`` render as leaves;
 ``not``/``if``/``then``/``else`` adopt their subschema's nested results
@@ -53,6 +56,32 @@ from json_schemer_spark.schema.jsonvalue import (
     unique_items,
 )
 from json_schemer_spark.schema.registry import Resource, split_fragment
+
+
+def _floc(ipath: str) -> str:
+    """result.rb:225-227 formatted_instance_location."""
+    return "root" if not ipath else f"`{ipath}`"
+
+
+def _rb(v: Any) -> str:
+    """Ruby ``#{value}`` interpolation parity for keyword values in error
+    messages: bare strings, true/false/"" for booleans/nil, inspect-style
+    lists (json.dumps matches Ruby Array#to_s for JSON scalars)."""
+    import json as _json
+
+    if v is None:
+        return ""
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return _json.dumps(v)
 
 
 def _esc(token: str) -> str:
@@ -244,7 +273,7 @@ class TreeEvaluator:
             r = host._eval_discriminator(schema, disc, instance, ipath, spath,
                                          scope, dialect, base_uri)
             assert_unit("discriminator", r.valid,
-                        "value does not match `discriminator` schema")
+                        f"value at {_floc(ipath)} does not match `discriminator` schema")
 
         v_on = dialect.vocab_enabled("validation")
 
@@ -255,22 +284,33 @@ class TreeEvaluator:
             if dialect.openapi == 30 and schema.get("nullable") is True:
                 allowed = list(allowed) + ["null"]
             ok = any(host._type_ok(instance, t, dialect) for t in allowed)
-            assert_unit("type", ok, f"expected {ty}, got {json_type(instance)}")
+            _art = {"null": "is not null", "boolean": "is not a boolean",
+                    "number": "is not a number", "integer": "is not an integer",
+                    "string": "is not a string", "array": "is not an array",
+                    "object": "is not an object"}
+            tmsg = (
+                f"value at {_floc(ipath)} {_art[ty]}"
+                if isinstance(ty, str) and ty in _art
+                else f"value at {_floc(ipath)} is not one of the types: {_rb(ty)}"
+            )
+            assert_unit("type", ok, tmsg)
 
         if v_on and "enum" in schema:
             ok = any(json_equal(instance, v) for v in schema["enum"])
-            assert_unit("enum", ok, "value not in enumeration")
+            assert_unit("enum", ok,
+                        f"value at {_floc(ipath)} is not one of: {_rb(schema['enum'])}")
 
         if v_on and dialect.has_const and "const" in schema:
             ok = json_equal(instance, schema["const"])
-            assert_unit("const", ok, "value does not equal const")
+            assert_unit("const", ok,
+                        f"value at {_floc(ipath)} is not: {_rb(schema['const'])}")
 
         # --- readOnly / writeOnly under access_mode -----------------------
         if self._access_mode:
             if schema.get("readOnly") is True and self._access_mode != "read":
-                assert_unit("readOnly", False, f"value at {ipath or '/'} is `readOnly`")
+                assert_unit("readOnly", False, f"value at {_floc(ipath)} is `readOnly`")
             if schema.get("writeOnly") is True and self._access_mode != "write":
-                assert_unit("writeOnly", False, f"value at {ipath or '/'} is `writeOnly`")
+                assert_unit("writeOnly", False, f"value at {_floc(ipath)} is `writeOnly`")
 
         # --- format assertion --------------------------------------------
         assert_fmt = host.assert_formats or (
@@ -290,47 +330,53 @@ class TreeEvaluator:
                 checker = openapi_formats(dialect.openapi).get(fmt)
             if checker is not None:
                 assert_unit("format", bool(checker(instance, fmt)),
-                            f"not a valid {fmt}")
+                            f"value at {_floc(ipath)} does not match format: {fmt}")
 
         # --- numbers ------------------------------------------------------
         if is_json_number(instance) and v_on:
             if "multipleOf" in schema:
                 assert_unit("multipleOf", is_multiple_of(instance, schema["multipleOf"]),
-                            f"not a multiple of {schema['multipleOf']}")
+                            f"number at {_floc(ipath)} is not a multiple of: {_rb(schema['multipleOf'])}")
             maximum = schema.get("maximum")
             if is_json_number(maximum):
                 excl = dialect.boolean_exclusive_bounds and schema.get("exclusiveMaximum") is True
                 bad = (instance >= maximum) if excl else (instance > maximum)
-                assert_unit("exclusiveMaximum" if excl else "maximum", not bad,
-                            f"{instance} above {'exclusive ' if excl else ''}maximum {maximum}")
+                assert_unit(
+                    "exclusiveMaximum" if excl else "maximum", not bad,
+                    f"number at {_floc(ipath)} is greater than or equal to `maximum`"
+                    if excl else
+                    f"number at {_floc(ipath)} is greater than: {_rb(maximum)}")
             minimum = schema.get("minimum")
             if is_json_number(minimum):
                 excl = dialect.boolean_exclusive_bounds and schema.get("exclusiveMinimum") is True
                 bad = (instance <= minimum) if excl else (instance < minimum)
-                assert_unit("exclusiveMinimum" if excl else "minimum", not bad,
-                            f"{instance} below {'exclusive ' if excl else ''}minimum {minimum}")
+                assert_unit(
+                    "exclusiveMinimum" if excl else "minimum", not bad,
+                    f"number at {_floc(ipath)} is less than or equal to `minimum`"
+                    if excl else
+                    f"number at {_floc(ipath)} is less than: {_rb(minimum)}")
             if not dialect.boolean_exclusive_bounds:
                 exmax = schema.get("exclusiveMaximum")
                 if is_json_number(exmax):
                     assert_unit("exclusiveMaximum", instance < exmax,
-                                f"{instance} not < {exmax}")
+                                f"number at {_floc(ipath)} is greater than or equal to: {_rb(exmax)}")
                 exmin = schema.get("exclusiveMinimum")
                 if is_json_number(exmin):
                     assert_unit("exclusiveMinimum", instance > exmin,
-                                f"{instance} not > {exmin}")
+                                f"number at {_floc(ipath)} is less than or equal to: {_rb(exmin)}")
 
         # --- strings ------------------------------------------------------
         elif isinstance(instance, str):
             if v_on and "maxLength" in schema:
                 assert_unit("maxLength", len(instance) <= schema["maxLength"],
-                            f"length {len(instance)} > {schema['maxLength']}")
+                            f"string length at {_floc(ipath)} is greater than: {_rb(schema['maxLength'])}")
             if v_on and "minLength" in schema:
                 assert_unit("minLength", len(instance) >= schema["minLength"],
-                            f"length {len(instance)} < {schema['minLength']}")
+                            f"string length at {_floc(ipath)} is less than: {_rb(schema['minLength'])}")
             if v_on and "pattern" in schema:
                 ok = bool(host._regex(schema["pattern"]).search(instance))
                 assert_unit("pattern", ok,
-                            f"does not match pattern {schema['pattern']!r}")
+                            f"string at {_floc(ipath)} does not match pattern: {schema['pattern']}")
             if dialect.content_assertion and (
                 "contentEncoding" in schema or "contentMediaType" in schema
             ):
@@ -341,7 +387,8 @@ class TreeEvaluator:
                     codec = host.content_encodings.get(enc) or _BUILTIN_ENCODINGS.get(enc)
                     if codec is not None:
                         ok, dec2 = codec(decoded)
-                        assert_unit("contentEncoding", ok, f"not valid {enc}")
+                        assert_unit("contentEncoding", ok,
+                                    f"string at {_floc(ipath)} could not be decoded using encoding: {enc}")
                         if ok:
                             decoded = dec2
                 mt = schema.get("contentMediaType")
@@ -349,20 +396,21 @@ class TreeEvaluator:
                     parser = host.content_media_types.get(mt) or _BUILTIN_MEDIA_TYPES.get(mt)
                     if parser is not None:
                         ok2, _parsed = parser(decoded)
-                        assert_unit("contentMediaType", ok2, f"not parseable as {mt}")
+                        assert_unit("contentMediaType", ok2,
+                                    f"string at {_floc(ipath)} could not be parsed using media type: {mt}")
 
         # --- arrays -------------------------------------------------------
         elif isinstance(instance, list):
             n = len(instance)
             if v_on and "maxItems" in schema:
                 assert_unit("maxItems", n <= schema["maxItems"],
-                            f"{n} items > {schema['maxItems']}")
+                            f"array size at {_floc(ipath)} is greater than: {_rb(schema['maxItems'])}")
             if v_on and "minItems" in schema:
                 assert_unit("minItems", n >= schema["minItems"],
-                            f"{n} items < {schema['minItems']}")
+                            f"array size at {_floc(ipath)} is less than: {_rb(schema['minItems'])}")
             if v_on and schema.get("uniqueItems") is True:
                 assert_unit("uniqueItems", unique_items(instance),
-                            "array items are not unique")
+                            f"array items at {_floc(ipath)} are not unique")
 
             def apply_items(kw: str, pairs):
                 """pairs: [(index, subschema, child_spath, child_kloc)]."""
@@ -375,8 +423,16 @@ class TreeEvaluator:
                     ok = ok and cu["valid"]
                     node.items.add(i)
                 if children:
-                    applicator_unit(kw, ok, children,
-                                    message=f"an item does not match {kw!r}")
+                    msgs = {
+                        "prefixItems": f"array items at {_floc(ipath)} do not match corresponding `prefixItems` schemas",
+                        "items": (
+                            f"array items at {_floc(ipath)} do not match `items` schema"
+                            if dialect.has_prefix_items else
+                            f"array items at {_floc(ipath)} do not match `items` schema(s)"
+                        ),
+                        "additionalItems": f"array items at {_floc(ipath)} do not match `additionalItems` schema",
+                    }
+                    applicator_unit(kw, ok, children, message=msgs[kw])
 
             if dialect.has_prefix_items:
                 prefix = schema.get("prefixItems")
@@ -430,14 +486,14 @@ class TreeEvaluator:
                 # reference Contains sets ignore_nested => true
                 # (applicator.rb:214): per-element results never surface
                 applicator_unit("contains", ok, [],
-                                message=f"{len(matched)} items match contains, need >= {min_c}")
+                                message=f"array at {_floc(ipath)} does not contain enough items that match `contains` schema")
                 if dialect.has_min_max_contains:
                     if "minContains" in schema:
                         assert_unit("minContains", len(matched) >= min_c,
-                                    f"{len(matched)} items match contains, need >= {min_c}")
+                                    f"number of array items at {_floc(ipath)} matching `contains` schema is less than: {_rb(schema['minContains'])}")
                     if max_c is not None:
                         assert_unit("maxContains", len(matched) <= max_c,
-                                    f"{len(matched)} items match contains, need <= {max_c}")
+                                    f"number of array items at {_floc(ipath)} matching `contains` schema is greater than: {_rb(max_c)}")
                 node.items.update(matched)
 
         # --- objects ------------------------------------------------------
@@ -445,10 +501,10 @@ class TreeEvaluator:
             n = len(instance)
             if v_on and "maxProperties" in schema:
                 assert_unit("maxProperties", n <= schema["maxProperties"],
-                            f"{n} properties > {schema['maxProperties']}")
+                            f"object size at {_floc(ipath)} is greater than: {_rb(schema['maxProperties'])}")
             if v_on and "minProperties" in schema:
                 assert_unit("minProperties", n >= schema["minProperties"],
-                            f"{n} properties < {schema['minProperties']}")
+                            f"object size at {_floc(ipath)} is less than: {_rb(schema['minProperties'])}")
             req = schema.get("required") if v_on else None
             if isinstance(req, list):
                 req_keys = req
@@ -466,7 +522,7 @@ class TreeEvaluator:
                     req_keys = [k for k in req if not _inapplicable(k)]
                 missing = [k for k in req_keys if k not in instance]
                 assert_unit("required", not missing,
-                            f"missing required properties: {missing}")
+                            f"object at {_floc(ipath)} is missing required properties: {', '.join(missing)}")
 
             dep_req = None
             if v_on and dialect.has_dependent_keywords:
@@ -477,7 +533,7 @@ class TreeEvaluator:
                         missing = [k for k in needs if k not in instance]
                         if missing:
                             assert_unit("dependentRequired", False,
-                                        f"{key!r} present but missing {missing}",
+                                        f"object at {_floc(join_pointer(ipath, key))} is missing required `dependentRequired` properties",
                                         at=join_pointer(ipath, key))
 
             matched_keys: set = set()
@@ -496,7 +552,7 @@ class TreeEvaluator:
                         matched_keys.add(k)
                 if children:
                     applicator_unit("properties", ok, children,
-                                    message="a property does not match its schema")
+                                    message=f"object properties at {_floc(ipath)} do not match corresponding `properties` schemas")
 
             pattern_props = schema.get("patternProperties")
             if isinstance(pattern_props, dict):
@@ -516,7 +572,7 @@ class TreeEvaluator:
                             matched_keys.add(k)
                 if children:
                     applicator_unit("patternProperties", ok, children,
-                                    message="a property does not match patternProperties")
+                                    message=f"object properties at {_floc(ipath)} do not match corresponding `patternProperties` schemas")
 
             node.props.update(matched_keys)
 
@@ -535,7 +591,7 @@ class TreeEvaluator:
                         node.props.add(k)
                 if children:
                     applicator_unit("additionalProperties", ok, children,
-                                    message="an additional property does not match")
+                                    message=f"object properties at {_floc(ipath)} do not match `additionalProperties` schema")
 
             if dialect.has_property_names and "propertyNames" in schema:
                 sub = schema["propertyNames"]
@@ -549,7 +605,7 @@ class TreeEvaluator:
                     ok = ok and cu["valid"]
                 if children:
                     applicator_unit("propertyNames", ok, children,
-                                    message="a property name does not match")
+                                    message=f"object property names at {_floc(ipath)} do not match `propertyNames` schema")
 
             deps = schema.get("dependencies") if dialect.has_legacy_dependencies else None
             if isinstance(deps, dict):
@@ -559,14 +615,14 @@ class TreeEvaluator:
                             missing = [k for k in dep if k not in instance]
                             if missing:
                                 assert_unit("dependencies", False,
-                                            f"{key!r} present but missing {missing}")
+                                            f"object at {_floc(ipath)} either does not match applicable `dependencies` schemas or is missing required `dependencies` properties")
                         else:
                             cu, cp, ci = self._apply(
                                 dep, instance, ipath,
                                 f"{kloc}/dependencies/{_esc(key)}",
                                 f"{spath}/dependencies/{_esc(key)}", scope, dialect)
                             applicator_unit("dependencies", cu["valid"], [cu],
-                                            message=f"dependency schema of {key!r} failed")
+                                            message=f"object at {_floc(ipath)} either does not match applicable `dependencies` schemas or is missing required `dependencies` properties")
                             merge_inplace(cu, cp, ci)
 
             dep_schemas = schema.get("dependentSchemas") if dialect.has_dependent_keywords else None
@@ -578,7 +634,7 @@ class TreeEvaluator:
                             f"{kloc}/dependentSchemas/{_esc(key)}",
                             f"{spath}/dependentSchemas/{_esc(key)}", scope, dialect)
                         applicator_unit("dependentSchemas", cu["valid"], [cu],
-                                        message=f"dependent schema of {key!r} failed")
+                                        message=f"value at {_floc(ipath)} does not match applicable `dependentSchemas` schemas")
                         merge_inplace(cu, cp, ci)
 
         # --- in-place applicators ----------------------------------------
@@ -594,7 +650,7 @@ class TreeEvaluator:
                 ok = ok and cu["valid"]
                 merge_inplace(cu, cp, ci)
             applicator_unit("allOf", ok, children,
-                            message="instance does not match all subschemas")
+                            message=f"value at {_floc(ipath)} does not match all `allOf` schemas")
 
         any_of = None if disc_active else schema.get("anyOf")
         if isinstance(any_of, list):
@@ -609,7 +665,7 @@ class TreeEvaluator:
                     ok = True
                     merge_inplace(cu, cp, ci)
             applicator_unit("anyOf", ok, children,
-                            message="instance does not match any subschema")
+                            message=f"value at {_floc(ipath)} does not match any `anyOf` schemas")
 
         one_of = None if disc_active else schema.get("oneOf")
         if isinstance(one_of, list):
@@ -628,7 +684,7 @@ class TreeEvaluator:
             # output walk — the oneOf unit renders as a leaf
             applicator_unit("oneOf", n_valid == 1,
                             [] if n_valid > 1 else children,
-                            message=f"{n_valid} subschemas matched, need exactly 1")
+                            message=f"value at {_floc(ipath)} does not match exactly one `oneOf` schema")
 
         if "not" in schema:
             cu, _cp, _ci = self._apply(schema["not"], instance, ipath,
@@ -637,7 +693,7 @@ class TreeEvaluator:
             # nested results directly — the subschema unit itself does not
             # surface as a nested unit (round-3 review divergence, closed)
             applicator_unit("not", not cu["valid"], _nested_of(cu),
-                            message="instance matched 'not' subschema")
+                            message=f"value at {_floc(ipath)} matches `not` schema")
 
         if dialect.has_if_then_else and "if" in schema:
             cu_if, cp, ci = self._apply(schema["if"], instance, ipath,
@@ -654,14 +710,14 @@ class TreeEvaluator:
                                                f"{kloc}/then", f"{spath}/then",
                                                scope, dialect)
                     applicator_unit("then", cu["valid"], _nested_of(cu),
-                                    message="instance does not match 'then' subschema")
+                                    message=f"value at {_floc(ipath)} does not match conditional `then` schema")
                     merge_inplace(cu, cp2, ci2)
             elif "else" in schema:
                 cu, cp2, ci2 = self._apply(schema["else"], instance, ipath,
                                            f"{kloc}/else", f"{spath}/else",
                                            scope, dialect)
                 applicator_unit("else", cu["valid"], _nested_of(cu),
-                                message="instance does not match 'else' subschema")
+                                message=f"value at {_floc(ipath)} does not match conditional `else` schema")
                 merge_inplace(cu, cp2, ci2)
 
         # --- custom keywords ---------------------------------------------
@@ -694,7 +750,7 @@ class TreeEvaluator:
                         node.props.add(k)
                 if children:
                     applicator_unit("unevaluatedProperties", ok, children,
-                                    message="an unevaluated property does not match")
+                                    message=f"object properties at {_floc(ipath)} do not match `unevaluatedProperties` schema")
             if "unevaluatedItems" in schema and isinstance(instance, list):
                 sub = schema["unevaluatedItems"]
                 children = []
@@ -710,7 +766,7 @@ class TreeEvaluator:
                         node.items.add(i)
                 if children:
                     applicator_unit("unevaluatedItems", ok, children,
-                                    message="an unevaluated item does not match")
+                                    message=f"array items at {_floc(ipath)} do not match `unevaluatedItems` schema")
 
         # --- annotation producers ----------------------------------------
         for kw in ("title", "description", "default", "deprecated",

@@ -242,3 +242,65 @@ def test_verbose_ref_adopts_target_unit():
     assert _child_klocs(ref_unit) == ["/$ref/minLength", "/$ref/type"]
     # the absolute location points into the target's lexical position
     assert ref_unit["absoluteKeywordLocation"].endswith("#/$defs/s")
+
+
+def test_unit_error_wording_matches_reference():
+    """Round 5: keyword-unit error strings use the reference's wording
+    (each vocab class's `error` + result.rb:225 formatted_instance_location
+    — e.g. draft202012/vocab/applicator.rb:7-9 for allOf). Pin a sample
+    across leaf keywords and in-place applicators, at root and at a nested
+    pointer."""
+    from json_schemer_spark import compile_schema
+
+    def errs(schema, instance):
+        out = compile_schema(schema).validate_value(instance, output_format="verbose")
+
+        def walk(u):
+            if "error" in u:
+                yield u["keywordLocation"], u["error"]
+            for key in ("errors", "annotations"):
+                for c in u.get(key, []):
+                    yield from walk(c)
+
+        d = {}
+        for k, v in walk(out):  # parent yields before children: keep outermost
+            d.setdefault(k, v)
+        return d
+
+    e = errs({"allOf": [{"type": "string"}]}, 5)
+    assert e["/allOf"] == "value at root does not match all `allOf` schemas"
+    assert e["/allOf/0/type"] == "value at root is not a string"
+
+    e = errs({"properties": {"a": {"anyOf": [{"minimum": 3}]}}}, {"a": 1})
+    assert e["/properties"] == (
+        "object properties at root do not match corresponding `properties` schemas")
+    assert e["/properties/a/anyOf"] == (
+        "value at `/a` does not match any `anyOf` schemas")
+    assert e["/properties/a/anyOf/0/minimum"] == "number at `/a` is less than: 3"
+
+    e = errs({"oneOf": [{"type": "integer"}, {"type": "number"}]}, "x")
+    assert e["/oneOf"] == "value at root does not match exactly one `oneOf` schema"
+
+    e = errs({"not": {"type": "string"}}, "s")
+    assert e["/not"] == "value at root matches `not` schema"
+
+    e = errs({"items": {"maxLength": 1}}, ["ab"])
+    assert e["/items"] == "array items at root do not match `items` schema"
+    assert e["/items/maxLength"] == "string length at `/0` is greater than: 1"
+
+    e = errs({"required": ["x", "y"], "enum": [1]}, {"z": 0})
+    assert e["/required"] == "object at root is missing required properties: x, y"
+    assert e["/enum"] == "value at root is not one of: [1]"
+
+    e = errs({"if": {"type": "object"}, "then": {"required": ["k"]}}, {})
+    assert e["/then"] == "value at root does not match conditional `then` schema"
+
+    e = errs({"contains": {"const": 9}, "minContains": 2}, [9])
+    assert e["/contains"] == (
+        "array at root does not contain enough items that match `contains` schema")
+    assert e["/minContains"] == (
+        "number of array items at root matching `contains` schema is less than: 2")
+
+    e = errs({"unevaluatedProperties": False}, {"a": 1})
+    assert e["/unevaluatedProperties"] == (
+        "object properties at root do not match `unevaluatedProperties` schema")
