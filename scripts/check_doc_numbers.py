@@ -54,6 +54,12 @@ def check() -> list[str]:
             f"{s['low']['executors']}x{s['low']['cores_each']}",
             "low-level executor config",
         )
+        for j in (s.get("jobs") or [])[1:]:  # round 5+: secondary jobs
+            expect(
+                bench_md, "BENCH.md",
+                f"{j['scaling_efficiency']}",
+                f"secondary-job scaling efficiency ({j['job'][:30]}…)",
+            )
 
     local_path = _newest("BENCH_local_r*.json")
     if local_path:
@@ -125,6 +131,17 @@ def _gate_lines() -> dict[str, str]:
         lines["scaling-efficiency"] = (
             f"**scaling_efficiency = {s['scaling_efficiency']} ≥ {s['target']} — {ok}.**"
         )
+        jobs = s.get("jobs") or []
+        if len(jobs) > 1:
+            j = jobs[1]
+            jok = "meets the bar" if j["scaling_efficiency"] >= j["target"] else "BELOW TARGET"
+            jrows = f"{j['rows']:,}".replace(",", " ")
+            lines["scaling-lsh"] = (
+                f"**Second job — MinHash-LSH dedup candidates ({jrows} docs, "
+                f"shuffle-heavy): scaling_efficiency = {j['scaling_efficiency']} "
+                f"≥ {j['target']} — {jok}** "
+                f"(low {j['low']['min_sec']} s / high {j['high']['min_sec']} s, min-of-{len(j['low']['times'])})."
+            )
     return lines
 
 

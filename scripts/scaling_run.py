@@ -15,7 +15,15 @@ Methodology (variance control on a shared sandbox):
 - identical-job warmup so codegen compile stays out of measured time,
 - per-executor resources pinned (8 cores, 7g, ParallelGC) at both sizes.
 
-Usage: python scripts/scaling_run.py [rows] [n_exec_low] [repeats]
+Round 5: TWO jobs are measured and recorded in one artifact — the flagship
+validation AND the MinHash-LSH dedup candidate pipeline (shuffle-heavy:
+signature projection → (band, hash) exchange → windowed in-bucket pairing),
+because the dedup operators are the scale story the brief grades and the
+scaling evidence previously covered only validation (round-4 review
+ask #8). Top-level keys stay the flagship's (doc-gate compatible);
+``jobs`` carries both.
+
+Usage: python scripts/scaling_run.py [rows] [n_exec_low] [repeats] [cores] [lsh_rows]
 """
 
 from __future__ import annotations
@@ -29,12 +37,14 @@ N_LOW = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 N_HIGH = N_LOW * 4
 CORES_EACH = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+LSH_ROWS = int(sys.argv[5]) if len(sys.argv) > 5 else 500_000
 CORPUS = f"/tmp/jss_scaling_corpus_{ROWS}"
 
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 n_exec = int(sys.argv[1]); cores = int(sys.argv[2]); rows = int(sys.argv[3]); path = sys.argv[4]
+job = sys.argv[5] if len(sys.argv) > 5 else "flagship"
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 spark = (SparkSession.builder.master(f"local-cluster[{n_exec},{cores},8192]")
@@ -53,13 +63,30 @@ if not os.path.exists(os.path.join(path, "_SUCCESS")):
     generate_corpus(spark, rows, partitions=128).write.mode("overwrite").parquet(path)
 corpus = spark.read.parquet(path)
 plan = compile_schema(FLAGSHIP_SCHEMA)
-def run_once():
-    t0 = time.time()
-    out = plan.validate_json_column(corpus, "content")
-    (out.groupBy("repo")
-        .agg(F.count(F.lit(1)).alias("files"), F.sum((~F.col("valid")).cast("long")).alias("failed"))
-        .write.format("noop").mode("overwrite").save())
-    return time.time() - t0
+if job == "flagship":
+    def run_once():
+        t0 = time.time()
+        out = plan.validate_json_column(corpus, "content")
+        (out.groupBy("repo")
+            .agg(F.count(F.lit(1)).alias("files"), F.sum((~F.col("valid")).cast("long")).alias("failed"))
+            .write.format("noop").mode("overwrite").save())
+        return time.time() - t0
+elif job == "minhash_lsh":
+    # the MinHash-LSH dedup candidate pipeline over real corpus text:
+    # token-shingle signatures (one-pass fold, JVM) -> posexplode to band
+    # rows -> ONE (band, hash) shuffle -> windowed in-bucket pairing
+    # (skew-safe) -> pair distinct. Shuffle-heavy where the flagship is
+    # shuffle-free, so this evidences scale-out of the exchange path.
+    from json_schemer_spark.operators.dedup import minhash_lsh_candidates
+    docs = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content")
+    def run_once():
+        t0 = time.time()
+        (minhash_lsh_candidates(docs, "content", "doc_id")
+            .write.format("noop").mode("overwrite").save())
+        return time.time() - t0
+else:
+    raise SystemExit(f"unknown job {job}")
 run_once(); run_once()  # 2 warmups: C2 needs several full passes over the
 # large generated method before the hot loops are compiled (measured: runs
 # 1-3 of a fresh JVM are 2-5x slower; see bench.py docstring)
@@ -69,9 +96,10 @@ spark.stop()
 """
 
 
-def measure(n_exec: int) -> float:
+def measure(n_exec: int, rows: int, corpus: str, job: str) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(n_exec), str(CORES_EACH), str(ROWS), CORPUS],
+        [sys.executable, "-c", CHILD, str(n_exec), str(CORES_EACH), str(rows),
+         corpus, job],
         capture_output=True, text=True, timeout=1800,
     )
     for line in out.stdout.splitlines():
@@ -81,22 +109,21 @@ def measure(n_exec: int) -> float:
     raise RuntimeError(f"no result from n_exec={n_exec}: {out.stderr[-2000:]}")
 
 
-def main():
-    measure(N_LOW)  # ensure corpus materialized before timing
+def run_job(job: str, rows: int, corpus: str, label: str) -> dict:
+    measure(N_LOW, rows, corpus, job)  # ensure corpus materialized before timing
     low_times, high_times = [], []
     for i in range(REPEATS):
-        low_times.append(measure(N_LOW))
-        high_times.append(measure(N_HIGH))
-        print(f"round {i + 1}: low={low_times[-1]}s high={high_times[-1]}s", file=sys.stderr)
-    low_best = min(low_times)
-    high_best = min(high_times)
-    low_tp = ROWS / low_best
-    high_tp = ROWS / high_best
+        low_times.append(measure(N_LOW, rows, corpus, job))
+        high_times.append(measure(N_HIGH, rows, corpus, job))
+        print(f"{job} round {i + 1}: low={low_times[-1]}s high={high_times[-1]}s",
+              file=sys.stderr)
+    low_best, high_best = min(low_times), min(high_times)
+    low_tp, high_tp = rows / low_best, rows / high_best
     eff = high_tp / (4 * low_tp)
-    print(json.dumps({
-        "job": "corpus flagship validation (columnar tier) + per-repo verdict rollup",
+    return {
+        "job": label,
         "mode": f"local-cluster: {N_LOW}x{CORES_EACH} vs {N_HIGH}x{CORES_EACH} executor JVMs",
-        "rows": ROWS,
+        "rows": rows,
         "low": {"executors": N_LOW, "cores_each": CORES_EACH, "times": low_times,
                 "min_sec": round(low_best, 3), "rows_per_sec": round(low_tp, 1)},
         "high": {"executors": N_HIGH, "cores_each": CORES_EACH, "times": high_times,
@@ -104,7 +131,20 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,
-    }, indent=2))
+    }
+
+
+def main():
+    flagship = run_job(
+        "flagship", ROWS, CORPUS,
+        "corpus flagship validation (columnar tier) + per-repo verdict rollup")
+    lsh = run_job(
+        "minhash_lsh", LSH_ROWS, f"/tmp/jss_scaling_corpus_{LSH_ROWS}",
+        "MinHash-LSH dedup candidates (shingle signatures, (band,hash) "
+        "shuffle, windowed in-bucket pairing)")
+    out = dict(flagship)  # top-level view stays the flagship (doc gate)
+    out["jobs"] = [flagship, lsh]
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
