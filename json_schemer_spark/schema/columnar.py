@@ -234,42 +234,29 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             raise Unsupported(f"non-local $ref {ref!r}")
         return _resolve_pointer(schema, ref[1:])
 
-    # deferred uniqueness re-checks: a lazily-fetched remote could register
-    # a competing $dynamicAnchor AFTER a static resolution was accepted —
-    # re-verified once the whole tree has inlined (every reachable resource
-    # is fetched by then)
-    _dyn_checks: list[tuple[str, Any]] = []
+    def resolve_dynamic_scoped(node: dict, kind: str, ref: str, dscope: tuple):
+        """Resolve ``$dynamicRef``/``$recursiveRef`` through the STATIC
+        dynamic scope (round 5, superseding round 4's conservative
+        single-anchor cases).
 
-    def _anchor_competitors(frag: str, target: Any) -> bool:
-        seen: set[int] = set()
-        for r in registry.resources.values():
-            node = r.dynamic_anchors.get(frag)
-            if node is not None and node is not target and id(node) not in seen:
-                seen.add(id(node))
-                return True
-        return False
-
-    def resolve_dynamic_static(node: dict, kind: str, ref: str):
-        """Statically resolve ``$dynamicRef``/``$recursiveRef`` when the
-        dynamic machinery provably cannot divert it (round 4):
-
-        - ``$recursiveRef: '#'`` with NO ``$recursiveAnchor: true`` anywhere
-          in the registry == a plain ref to the current resource root
-          (2019-09 core: the dynamic walk finds nothing to land on);
-        - ``$dynamicRef`` whose initially-resolved fragment is NOT a
-          ``$dynamicAnchor`` (pointer fragment, plain ``$anchor``) == plain
-          ``$ref`` (2020-12 core §8.2.3.2);
-        - ``$dynamicRef`` to a ``$dynamicAnchor`` that is the ONLY
-          definition of that name in the registry: outermost-first lookup
-          can only ever find it.
-
-        Anything else (competing anchors — the genuinely dynamic cases)
-        raises :class:`Unsupported` and rides the interpreter tier."""
+        After inlining, every occurrence of a node has exactly ONE
+        evaluation path from the root — the walk path — so the runtime
+        dynamic scope at that occurrence is statically known: ``dscope`` is
+        the tuple of resources entered along the walk, maintained with the
+        interpreter's exact push rule (push when a node's owning resource
+        differs from the scope TOP — interpreter.py run()). Resolution then
+        mirrors ``Evaluator._eval_dynamic_ref`` / ``_eval_recursive_ref``
+        verbatim: anchor-form fragments that are ``$dynamicAnchor``s in the
+        initially-resolved resource search the scope outermost-first
+        (2020-12 core §8.2.3.2, reference draft202012/vocab/core.rb:71-110);
+        ``$recursiveRef: '#'`` lands on the outermost
+        ``$recursiveAnchor: true`` resource when the current one opts in
+        (2019-09). Genuinely scope-DEPENDENT schemas thereby lower too —
+        each inlined occurrence just resolves under its own scope."""
         if registry is None:
             raise Unsupported(kind)
         from json_schemer_spark.schema.registry import (
             DEFAULT_BASE_URI,
-            resolve_uri,
             split_fragment,
         )
 
@@ -278,64 +265,72 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
         if kind == "$recursiveRef":
             if ref != "#":
                 raise Unsupported("non-'#' $recursiveRef")
-            if any(r.recursive_anchor for r in registry.resources.values()):
-                raise Unsupported("$recursiveRef with live $recursiveAnchor")
-            res = registry.resources.get(split_fragment(base_uri)[0])
-            if res is None:
-                raise Unsupported("unresolvable $recursiveRef base")
-            _dyn_checks.append(("(recursive)", None))
-            return res.root
+            if not dscope:
+                raise Unsupported("$recursiveRef with no scope")
+            current = dscope[-1]
+            target = current.root
+            if current.recursive_anchor:
+                for res in dscope:  # outermost-first
+                    if res.recursive_anchor:
+                        target = res.root
+                        break
+            return target
         try:
             target, tres, _ptr = registry.resolve_ref_with_pointer(ref, base_uri)
         except (KeyError, IndexError, TypeError) as exc:
             raise Unsupported(f"unresolvable $dynamicRef {ref!r}: {exc}") from exc
-        frag = split_fragment(resolve_uri(base_uri, ref))[1]
-        if frag and not frag.startswith("/") and tres.dynamic_anchors.get(frag) is target:
-            if _anchor_competitors(frag, target):
-                raise Unsupported("$dynamicRef with competing $dynamicAnchor definitions")
-            _dyn_checks.append((frag, target))
+        frag = split_fragment(ref)[1]
+        if frag and not frag.startswith("/") and frag in tres.dynamic_anchors:
+            for res in dscope:  # outermost-first
+                if frag in res.dynamic_anchors:
+                    target = res.dynamic_anchors[frag]
+                    break
         return target
 
-    def recheck_dynamic() -> None:
-        for frag, target in _dyn_checks:
-            if frag == "(recursive)":
-                if any(r.recursive_anchor for r in registry.resources.values()):
-                    raise Unsupported("$recursiveAnchor registered after static resolve")
-            elif _anchor_competitors(frag, target):
-                raise Unsupported("$dynamicAnchor registered after static resolve")
-
-    def walk(node: Any, stack: tuple, idepth: int) -> Any:
+    def walk(node: Any, stack: tuple, idepth: int, dscope: tuple) -> Any:
         """Walk SCHEMA positions only — enum/const/default members and
         unknown-keyword values are data, never rewritten (a `$ref` key
         inside an enum member is a literal, suite draft4 enum.json trap).
 
         ``stack`` holds ``(id(target), idepth_at_entry)`` per inlined ref
         along this path; ``idepth`` counts instance-consuming applicator
-        edges crossed since the root (the cycle-progress measure)."""
+        edges crossed since the root (the cycle-progress measure);
+        ``dscope`` is the static dynamic scope (tuple of resources entered,
+        interpreter push rule)."""
         if not isinstance(node, dict):
             return node
         if node is not schema and any(k in node for k in rebinding):
             # base-URI rebinding without a registry → general resolver only
             raise Unsupported("nested $id/$anchor rebinding")
-        if registry is not None and isinstance(node.get("$schema"), str):
-            info = registry.info(node)
-            if info is not None and info.dialect is not dialect:
-                # a nested resource under a DIFFERENT draft cannot inline —
-                # the lowering runs under one dialect
-                raise Unsupported("cross-dialect $schema in inlined resource")
-        # statically-resolvable dynamic refs inline like modern $ref
-        # (siblings kept, target hoisted into allOf)
+        if registry is not None:
+            ninfo = registry.info(node)
+            if ninfo is not None:
+                if isinstance(node.get("$schema"), str) and ninfo.dialect is not dialect:
+                    # a nested resource under a DIFFERENT draft cannot
+                    # inline — the lowering runs under one dialect
+                    raise Unsupported("cross-dialect $schema in inlined resource")
+                if not dscope or ninfo.resource is not dscope[-1]:
+                    dscope = dscope + (ninfo.resource,)
+        # dynamic refs resolve through the STATIC scope and then inline like
+        # modern $ref (siblings kept, target hoisted into allOf); cyclic
+        # ones unroll with route markers exactly like plain $ref
         dyn_targets = []
         for dkw, active in (("$dynamicRef", dialect.has_dynamic_ref),
                             ("$recursiveRef", dialect.has_recursive_ref)):
             if active and isinstance(node.get(dkw), str):
                 if len(stack) > 48:
                     raise Unsupported("$ref nesting too deep")
-                raw = resolve_dynamic_static(node, dkw, node[dkw])
+                raw = resolve_dynamic_scoped(node, dkw, node[dkw], dscope)
                 tkey = id(raw)
-                if any(k == tkey for k, _ in stack):
-                    raise Unsupported(f"cyclic {dkw}")
-                dyn_targets.append(walk(raw, stack + ((tkey, idepth),), idepth))
+                visits = [d for k, d in stack if k == tkey]
+                if visits and visits[-1] == idepth:
+                    raise Unsupported(f"cyclic {dkw} without instance progress")
+                if len(visits) >= _UNROLL_BUDGET:
+                    dyn_targets.append(ROUTE_MARKER)
+                else:
+                    dyn_targets.append(
+                        walk(raw, stack + ((tkey, idepth),), idepth, dscope)
+                    )
                 node = {k: v for k, v in node.items() if k != dkw}
 
         ref = node.get("$ref")
@@ -353,7 +348,7 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             if len(visits) >= _UNROLL_BUDGET:
                 target = ROUTE_MARKER
             else:
-                target = walk(raw_target, stack + ((tkey, idepth),), idepth)
+                target = walk(raw_target, stack + ((tkey, idepth),), idepth, dscope)
             siblings = {k: v for k, v in node.items() if k != "$ref"}
             if not dyn_targets and (dialect.exclusive_ref or not any(
                 k for k in siblings if k not in ("$defs", "definitions")
@@ -375,22 +370,22 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                 # (and rejecting cycles in UNUSED definitions) is pointless
                 out[kw] = val
             elif shape == SCHEMA_VALUE:
-                out[kw] = walk(val, stack, kid)
+                out[kw] = walk(val, stack, kid, dscope)
             elif shape == SCHEMA_LIST:
-                out[kw] = [walk(s, stack, kid) for s in val] if isinstance(val, list) else val
+                out[kw] = [walk(s, stack, kid, dscope) for s in val] if isinstance(val, list) else val
             elif shape == SCHEMA_MAP:
                 out[kw] = (
-                    {k: walk(s, stack, kid) for k, s in val.items()}
+                    {k: walk(s, stack, kid, dscope) for k, s in val.items()}
                     if isinstance(val, dict) else val
                 )
             elif shape == SCHEMA_OR_LIST:
                 out[kw] = (
-                    [walk(s, stack, kid) for s in val] if isinstance(val, list)
-                    else walk(val, stack, kid)
+                    [walk(s, stack, kid, dscope) for s in val] if isinstance(val, list)
+                    else walk(val, stack, kid, dscope)
                 )
             elif shape == DEPENDENCIES:
                 out[kw] = (
-                    {k: (s if isinstance(s, list) else walk(s, stack, kid))
+                    {k: (s if isinstance(s, list) else walk(s, stack, kid, dscope))
                      for k, s in val.items()}
                     if isinstance(val, dict) else val
                 )
@@ -399,9 +394,12 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             out["allOf"] = hoisted + list(out.get("allOf") or [])
         return out
 
-    inlined = walk(schema, (), 0)
-    recheck_dynamic()
-    return inlined
+    root_scope: tuple = ()
+    if registry is not None:
+        rinfo = registry.info(schema)
+        if rinfo is not None:
+            root_scope = (rinfo.resource,)
+    return walk(schema, (), 0, root_scope)
 
 
 # ---------------------------------------------------------------------------

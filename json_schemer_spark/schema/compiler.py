@@ -56,6 +56,13 @@ class CompiledSchema:
         self.assert_formats = assert_formats
         self.formats = formats
         self.keywords = keywords
+        # kept for the executor-side Evaluator rebuild (_evaluator_factory):
+        # without these, remote-$ref schemas resolved fine on the DRIVER but
+        # the interpreter tier raised unresolvable-$ref on executors (latent
+        # until round 5's hybrid routing sent rows there routinely)
+        self._ref_resolver = ref_resolver
+        self._base_uri = base_uri
+        self._dialect_arg = dialect
         self._ext_opts = dict(
             before_property_validation=before_property_validation,
             after_property_validation=after_property_validation,
@@ -307,20 +314,31 @@ class CompiledSchema:
         executor process from the schema document (cheap, memoized per
         process) rather than pickling live regex/registry state."""
         schema_json = json.dumps(self.schema)
-        dialect_name = self.dialect.name
+        dialect_name = self._dialect_arg.name if self._dialect_arg is not None else None
         assert_formats = self.assert_formats
+        base_uri = self._base_uri
         # user extension callables ride the pickled closure to executors
+        # (cloudpickle handles lambdas/closures), incl. the ref_resolver —
+        # omitting it made every remote-$ref interpreter run fail on the
+        # executor with unresolvable-$ref
+        ref_resolver = self._ref_resolver
         formats = self.formats
         keywords = self.keywords
         ext_opts = self._ext_opts
 
         def build() -> Evaluator:
-            from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
+            from json_schemer_spark.schema.dialects import (
+                DEFAULT_DIALECT as _DD,
+                DIALECTS_BY_NAME,
+            )
             from json_schemer_spark.schema.interpreter import Evaluator as _Ev
 
             return _Ev(
                 json.loads(schema_json),
-                dialect=DIALECTS_BY_NAME[dialect_name],
+                # mirror __init__'s Evaluator construction exactly
+                dialect=DIALECTS_BY_NAME[dialect_name] if dialect_name else _DD,
+                base_uri=base_uri,
+                ref_resolver=ref_resolver,
                 assert_formats=assert_formats,
                 formats=formats,
                 keywords=keywords,

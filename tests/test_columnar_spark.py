@@ -374,3 +374,69 @@ def test_cyclic_ref_hybrid_routing(spark):
     assert uplan.is_lowerable()
     assert build_route_probe(uplan._prepared_schema(), uplan.dialect) is None
     assert ROUTE_MARKER == {"x-jss-route-marker": True}
+
+
+def test_dynamic_ref_scope_dependent_lowering(spark):
+    """Round 5: genuinely scope-DEPENDENT $dynamicRef lowers via static
+    scope tracking — after inlining, each occurrence has one evaluation
+    path, so the runtime dynamic scope is statically known per occurrence
+    (interpreter push rule mirrored in inline_refs). The canonical 2020-12
+    strict-tree: the outer resource redefines the `node` anchor, so the
+    recursive $dynamicRef inside the generic tree must land on the STRICT
+    root (unevaluatedProperties: false) at every depth; cyclic resolution
+    unrolls with route markers like plain $ref."""
+    import json
+
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.schema.columnar import build_route_probe
+
+    tree = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "https://example.com/tree",
+        "$dynamicAnchor": "node",
+        "type": "object",
+        "properties": {
+            "data": True,
+            "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+        },
+    }
+    strict_tree = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "https://example.com/strict-tree",
+        "$dynamicAnchor": "node",
+        "$ref": "tree",
+        "unevaluatedProperties": False,
+    }
+    plan = compile_schema(
+        strict_tree,
+        ref_resolver=lambda uri: tree if "tree" in uri else None,
+    )
+    assert plan.is_lowerable()
+    assert build_route_probe(plan._prepared_schema(), plan.dialect) is not None
+
+    insts = [
+        {"data": 1},
+        {"data": 1, "children": [{"data": 2}]},
+        # the scope-dependence: `daat` typo must FAIL at depth 1 because the
+        # dynamicRef lands on strict-tree, not the permissive tree
+        {"children": [{"daat": 1}]},
+        # ... and at depth 4 (past the unroll budget -> routed rows)
+        {"children": [{"children": [{"children": [{"children": [{"daat": 1}]}]}]}]},
+        {"children": [{"children": [{"children": [{"children": [{"data": 1}]}]}]}]},
+        {"typo": 1},
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(v)) for i, v in enumerate(insts)], "i int, content string")
+    hyb = {r.i: r.valid for r in plan.validate_json_column(df, "content").collect()}
+    itp = {r.i: r.valid for r in plan.validate_json_column(
+        df, "content", force_interpreter=True).collect()}
+    assert hyb == itp, {k: (hyb[k], itp[k]) for k in itp if hyb[k] != itp[k]}
+    assert hyb[0] and hyb[1] and hyb[4]
+    assert not hyb[2] and not hyb[3] and not hyb[5]
+
+    # without the outer redefinition the same instances validate loosely:
+    # scope resolution must NOT leak strict semantics into the plain tree
+    plain = compile_schema(tree, ref_resolver=lambda uri: None)
+    assert plain.is_lowerable()
+    out = {r.i: r.valid for r in plain.validate_json_column(df, "content").collect()}
+    assert out[2] and out[3] and out[5]  # extra keys allowed in plain tree
