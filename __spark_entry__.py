@@ -24,6 +24,19 @@ PROPS_SCHEMA = {
     "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 80}},
 }
 
+# self-referential linked-list schema — exercises the round-5 per-row
+# tier-routed hybrid (bounded unroll + route probe) end to end (q39)
+CHAIN_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "required": ["v"],
+    "properties": {
+        "v": {"type": "integer", "minimum": 0, "maximum": 99},
+        "next": {"$ref": "#"},
+    },
+    "additionalProperties": False,
+}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -446,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_media_features_real": q36_media_features_real,
         "q37_hll_profile": q37_hll_profile,
         "q38_neardup_dedup_lsh": q38_neardup_dedup_lsh,
+        "q39_recursive_validate": q39_recursive_validate,
     }
 
 
@@ -621,6 +635,47 @@ def q38_neardup_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = neardup_dedup_lsh(members, dim=64, threshold=0.9, id_col="mid", vec_col="emb")
     return out.select(F.col("mid").alias("kept_id"), "cluster_size").orderBy("kept_id")
+
+
+def q39_recursive_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-schema validation through the PER-ROW TIER-ROUTED hybrid
+    (round 5): a self-referential linked-list schema (`next: {"$ref": "#"}`,
+    reference schema.rb:175-217 ref resolution) is lowered by bounded
+    unroll — chains within the unroll budget run the pure-Column tier,
+    deeper rows are routed to the Arrow-batched interpreter, and the union
+    is transparent to the caller (CompiledSchema.validate_json_column).
+
+    Input: nested JSON chains synthesized DETERMINISTICALLY from
+    events.event_id (depth = event_id % 6 ⇒ both tiers exercised; node
+    values (event_id*7 + i*13) % 120 - 10 straddle the [0, 99] bounds;
+    every 17th row carries an extra root key to trip
+    additionalProperties: false). The DuckDB oracle never parses JSON: it
+    recomputes validity from the same generator arithmetic, so the two
+    sides share no validation machinery."""
+    from json_schemer_spark import compile_schema
+
+    plan = compile_schema(CHAIN_SCHEMA)
+    events = _t(spark, sf_dir, "events")
+    synth = events.select(
+        (F.col("event_id") % 6).cast("int").alias("depth"),
+        F.expr(
+            """
+            aggregate(
+              sequence(event_id % 6, 0L, -1L), cast('' as string),
+              (acc, i) -> concat(
+                '{"v":', cast((event_id * 7 + i * 13) % 120 - 10 as string),
+                if(acc = '', '', concat(',"next":', acc)),
+                if(i = 0 and event_id % 17 = 0, ',"x":1', ''),
+                '}'))
+            """
+        ).alias("doc"),
+    )
+    out = plan.validate_json_column(synth, "doc")
+    return (
+        out.groupBy("depth", "valid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("depth", "valid")
+    )
 
 
 def _ensure_oracle_caches() -> None:
@@ -1113,5 +1168,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes s ON m.mid = s.cluster_id
             WHERE c.mid IS NULL OR c.cluster_id = m.mid
             ORDER BY kept_id
+        """,
+        "q39_recursive_validate": """
+            WITH lv AS (
+                SELECT e.event_id, i.i
+                FROM events e
+                JOIN (SELECT unnest(generate_series(0, 5)) AS i) i
+                  ON i.i <= e.event_id % 6
+            ),
+            bad AS (
+                SELECT DISTINCT event_id FROM lv
+                WHERE (event_id * 7 + i * 13) % 120 - 10 NOT BETWEEN 0 AND 99
+            ),
+            per AS (
+                SELECT CAST(e.event_id % 6 AS INTEGER) AS depth,
+                       e.event_id NOT IN (SELECT event_id FROM bad)
+                         AND e.event_id % 17 != 0 AS valid
+                FROM events e
+            )
+            SELECT depth, valid, COUNT(*) AS n
+            FROM per GROUP BY depth, valid ORDER BY depth, valid
         """,
     }

@@ -162,6 +162,7 @@ def main() -> None:
         "q27_ann_lsh_recall",
         "q29_embedding_neardup",
         "q38_neardup_dedup_lsh",
+        "q39_recursive_validate",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
