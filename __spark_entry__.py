@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_hll_profile": q37_hll_profile,
         "q38_neardup_dedup_lsh": q38_neardup_dedup_lsh,
         "q39_recursive_validate": q39_recursive_validate,
+        "q40_repetition_filter": q40_repetition_filter,
     }
 
 
@@ -675,6 +676,45 @@ def q39_recursive_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("depth", "valid")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("depth", "valid")
+    )
+
+
+def q40_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1) — the
+    standard pre-training corpus quality gate: duplicate-line fraction,
+    duplicate-word fraction, top-bigram occurrence share, and the composed
+    keep/drop verdict (text.repetition_filter). Pure Column array algebra —
+    a narrow per-document map, no shuffle, no Python.
+
+    Input: multi-line documents synthesized deterministically from the
+    documents table (tokens chunked into 8-word lines, plus doc_id % 3
+    duplicated first-lines so the line signal has real mass). The DuckDB
+    oracle recomputes all three features with its own list machinery over
+    the same synthesized text — independent implementations end to end."""
+    from json_schemer_spark.operators.text import repetition_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            array_join(
+              concat(
+                transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
+                          i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')),
+                array_repeat(array_join(slice(split(text, ' '), 1, 8), ' '),
+                             cast(doc_id % 3 as int))
+              ), '\n')
+            """
+        ).alias("doc"),
+    )
+    out = repetition_filter(synth, "doc")
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        "kept",
     )
 
 
@@ -1188,5 +1228,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT depth, valid, COUNT(*) AS n
             FROM per GROUP BY depth, valid ORDER BY depth, valid
+        """,
+        "q40_repetition_filter": r"""
+            WITH synth AS (
+                SELECT doc_id,
+                       array_to_string(
+                         list_concat(
+                           [array_to_string(string_split(text, ' ')[(i*8+1):(i*8+8)], ' ')
+                            FOR i IN range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT))],
+                           [array_to_string(string_split(text, ' ')[1:8], ' ') || ''
+                            FOR j IN range(0, CAST(doc_id % 3 AS INT))]
+                         ), chr(10)) AS doc
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                       list_filter(string_split(doc, chr(10)), x -> trim(x) <> '') AS ls,
+                       list_filter(string_split_regex(lower(trim(doc)), '\s+'), x -> x <> '') AS toks
+                FROM synth
+            ),
+            f2 AS (
+                SELECT doc_id, ls, toks,
+                       [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS g2
+                FROM feat
+            ),
+            f3 AS (
+                SELECT doc_id,
+                       CASE WHEN len(ls) > 0
+                            THEN (len(ls) - len(list_distinct(ls))) / len(ls) ELSE 0.0 END AS dlf,
+                       CASE WHEN len(toks) > 0
+                            THEN (len(toks) - len(list_distinct(toks))) / len(toks) ELSE 0.0 END AS dwf,
+                       CASE WHEN len(g2) > 0
+                            THEN COALESCE(list_max(
+                                   [len(list_filter(g2, y -> y = x)) FOR x IN list_distinct(g2)]
+                                 ), 0) / len(g2)
+                            ELSE 0.0 END AS tbf
+                FROM f2
+            )
+            SELECT doc_id,
+                   ROUND(dlf, 6) AS dup_line_frac,
+                   ROUND(dwf, 6) AS dup_word_frac,
+                   ROUND(tbf, 6) AS top_bigram_frac,
+                   dlf <= 0.30 AND dwf <= 0.70 AND tbf <= 0.08 AS kept
+            FROM f3
         """,
     }

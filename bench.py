@@ -163,6 +163,7 @@ def main() -> None:
         "q29_embedding_neardup",
         "q38_neardup_dedup_lsh",
         "q39_recursive_validate",
+        "q40_repetition_filter",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}

@@ -87,6 +87,85 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     return feat.withColumn("quality_score", F.round(score, 6))
 
 
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1 — the
+    standard pre-training repetition filters): adds
+
+    - ``dup_line_frac``  — fraction of non-blank lines that are exact
+      duplicates of another line in the same document,
+    - ``dup_word_frac``  — fraction of tokens that repeat an earlier token,
+    - ``top_bigram_frac`` — occurrence share of the most frequent word
+      bigram (reported as a count fraction, so there is no mode tie-break
+      nondeterminism).
+
+    Pure Column expressions end to end — per-document array algebra, no
+    shuffle, no Python; scales as a narrow map over the corpus. Arrays are
+    staged as named columns because interpreted HOF evaluation has no CSE
+    (every reference would re-tokenize per row)."""
+    text = F.col(text_col)
+    df = df.withColumn(
+        "__lines", F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    )
+    df = df.withColumn("__toks", tokens(text))
+    lines, toks = F.col("__lines"), F.col("__toks")
+    n_lines, n_toks = F.size(lines), F.size(toks)
+    pair_len = F.greatest(n_toks - 1, F.lit(0))
+    df = df.withColumn(
+        "__g2",
+        F.zip_with(
+            F.slice(toks, F.lit(1), pair_len),
+            F.slice(toks, F.lit(2), pair_len),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    g2 = F.col("__g2")
+    top = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(g2),
+                lambda x: F.size(F.filter(g2, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    out = df.withColumns(
+        {
+            "dup_line_frac": F.when(
+                n_lines > 0,
+                (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+            ).otherwise(F.lit(0.0)),
+            "dup_word_frac": F.when(
+                n_toks > 0,
+                (n_toks - F.size(F.array_distinct(toks))).cast("double") / n_toks,
+            ).otherwise(F.lit(0.0)),
+            "top_bigram_frac": F.when(
+                F.size(g2) > 0, top.cast("double") / F.size(g2)
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+    return out.drop("__lines", "__toks", "__g2")
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_dup_line_frac: float = 0.30,
+    max_dup_word_frac: float = 0.70,
+    max_top_bigram_frac: float = 0.08,
+) -> DataFrame:
+    """Adds the repetition features plus a ``kept`` flag (True = document
+    survives all thresholds). Callers filter on ``kept`` for the pipeline
+    form; the flag is kept explicit so rejection reasons stay auditable."""
+    feat = repetition_features(df, text_col)
+    return feat.withColumn(
+        "kept",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-profile language guess → adds detected_lang, lang_score.
 

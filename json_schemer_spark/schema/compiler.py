@@ -285,10 +285,20 @@ class CompiledSchema:
                 # a bounded unroll of a cyclic $ref — rows whose instances
                 # have data beyond the unrolled depth (probe true) cannot be
                 # decided by the pure-Column plan and ride the interpreter;
-                # everything shallower gets exact columnar verdicts. The
-                # split is two filtered branches of one source (each scan
-                # prunes early); the interpreter side only pays Python cost
-                # for the deep tail.
+                # everything shallower gets exact columnar verdicts.
+                #
+                # Scale trade-off, considered deliberately: the split is two
+                # filtered branches of ONE source, so a file source is
+                # scanned twice — but the routed branch evaluates only the
+                # probe (one variant parse) and typically filters ~all rows
+                # out, so the overhead is ≈ one extra parse pass over the
+                # content column. The alternatives are strictly worse at
+                # scale: materializing the probe split through an exchange
+                # turns the whole input into shuffle I/O (spill at 100 TB),
+                # and running ONE mapInPandas over all rows pays Arrow
+                # transfer + Python for the entire table instead of the deep
+                # tail. Columnar-parquet re-scan with column pruning is the
+                # cheapest second pass available.
                 import pyspark.sql.functions as F
 
                 rcol = "__jss_route__"

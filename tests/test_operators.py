@@ -605,3 +605,44 @@ def test_srp_signature_nonidentifier_column_name(spark):
             ).collect()
         )
         assert got == want, name
+
+
+def test_repetition_features_hand_computed(spark):
+    from json_schemer_spark.operators.text import (
+        repetition_features,
+        repetition_filter,
+    )
+
+    docs = [
+        # 4 lines, "a b" repeated: dup_line 1/4; the tokenizer crosses
+        # newlines, so toks = a,b,a,b,b,c,c,d (8, 4 distinct) dup_word 4/8;
+        # 7 bigrams, top "a b" x2 -> 2/7
+        (0, "a b\na b\nb c\nc d"),
+        # no repeated lines/words; bigrams bridge the newline ("two three")
+        (1, "one two\nthree four"),
+        # blank/whitespace lines are dropped before the line stats
+        (2, "x y\n\n   \nx y"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, ["i", "t"])
+    got = {
+        r.i: (
+            round(r.dup_line_frac, 6),
+            round(r.dup_word_frac, 6),
+            round(r.top_bigram_frac, 6),
+        )
+        for r in repetition_features(df, "t").collect()
+    }
+    assert got[0] == (0.25, 0.5, round(2 / 7, 6))
+    assert got[1] == (0.0, 0.0, round(1 / 3, 6))  # each bigram once -> 1/3
+    assert got[2] == (0.5, 0.5, round(2 / 3, 6))  # "x y","y x","x y"
+    assert got[3] == (0.0, 0.0, 0.0)
+
+    kept = {
+        r.i: r.kept
+        for r in repetition_filter(
+            df, "t", max_dup_line_frac=0.3, max_dup_word_frac=0.4,
+            max_top_bigram_frac=0.35,
+        ).collect()
+    }
+    assert kept == {0: False, 1: True, 2: False, 3: True}
