@@ -127,7 +127,18 @@ def _bucket_pair_rows(banded: DataFrame, keys: Sequence[str], cap: int = MAX_BUC
         F.col("__head").alias("a"), F.col("__m").alias("b")
     )
     heads = ranked2.filter(rn == 1).select(*keys, F.col("__m").alias("__head"))
-    stars_deep = deep.join(heads, keys).select(
+    # merge-join hint (round 5): the static optimizer estimates the rn==1
+    # filter as tiny and BROADCASTS heads — but heads is one row per
+    # BUCKET (~one per input row when buckets are mostly singletons), so
+    # every run paid a driver collect + build + ship of the whole bucket
+    # census (measured: a constant ~5 s driver stall per run at 500 k docs,
+    # and an OOM below 4 g driver memory — pure anti-scale, the driver does
+    # not grow with the cluster). SMJ is the plan that scales: heads leaves
+    # the rank-window already hash-partitioned AND sorted by the bucket
+    # keys (no new exchange, no sort), and deep re-shuffles only the
+    # oversize-bucket tail (normally ~empty, bounded by the skew the design
+    # already handles).
+    stars_deep = deep.join(heads.hint("merge"), keys).select(
         F.col("__head").alias("a"), F.col("__m").alias("b")
     )
     return dense_pairs.unionByName(stars_edge).unionByName(stars_deep)

@@ -63,9 +63,16 @@ def test_minhash_signature_computed_once(spark):
     """The staged tokens/signature projections must survive optimization:
     exactly ONE signature fold computed at RUNTIME. Since round 4 the
     pairing fans out into a three-branch union, so the assertion runs on
-    the EXECUTED adaptive plan: every branch must read the one materialized
-    (keys, salt) exchange through ReusedExchange — a second `Scan parquet`
-    in the final plan means the signature projection ran twice."""
+    the EXECUTED adaptive plan: surviving branches must read the one
+    materialized (keys, salt) exchange through ReusedExchange — a second
+    `Scan parquet` in the final plan means the signature projection ran
+    twice. Since round 5 the stars_deep join carries a merge hint (the
+    static optimizer used to BROADCAST `heads` — one row per bucket, so
+    effectively the whole corpus shipped through the driver every run;
+    pure anti-scale, measured as a ~5 s constant stall and the r5 scaling
+    regression to 0.52). With no oversize buckets at this SF, AQE prunes
+    the empty deep branch, leaving >=1 reuse — and NO BroadcastExchange
+    may appear anywhere in the final plan."""
     from json_schemer_spark.operators.dedup import minhash_lsh_candidates
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -75,7 +82,8 @@ def test_minhash_signature_computed_once(spark):
     assert "isFinalPlan=true" in p
     final = p.split("== Initial Plan")[0] if "Initial Plan" in p else p
     assert final.count("Scan parquet") == 1, final[:1500]
-    assert final.count("ReusedExchange") >= 2, final[:1500]
+    assert final.count("ReusedExchange") >= 1, final[:1500]
+    assert "BroadcastExchange" not in final, final[:1500]
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
 
