@@ -412,11 +412,15 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution to exercise the operator. The scale path is
     neardup_pairs_lsh (SRP buckets + exact verify, skew-safe pairing) —
     recall-graded on clustered data in tests/test_operators.py and
-    value-oracled end-to-end as q38_neardup_dedup_lsh (its scale twin)."""
-    from json_schemer_spark.operators.similarity import neardup_pairs_exact
+    value-oracled end-to-end as q38_neardup_dedup_lsh (its scale twin).
+
+    Runs the Arrow matmul form of the exact baseline (r5): identical pair
+    set to the JVM nested-loop form (identity-tested), ~10× cheaper, so
+    the O(n²) oracle baseline no longer dominates the whole bench."""
+    from json_schemer_spark.operators.similarity import neardup_pairs_exact_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    return neardup_pairs_exact(emb, threshold=0.42).orderBy("id_a", "id_b")
+    return neardup_pairs_exact_arrow(emb, threshold=0.42).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -516,13 +520,14 @@ def q33_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation (dedup.dup_clusters) is hash-verified against a
     DuckDB RECURSIVE CTE computing the same reachability fixpoint. The
     pair INPUT here is the exact O(n²) baseline by design (oracle
-    clarity); q38_neardup_dedup_lsh oracles the same clustering fed from
-    the LSH scale path — that composition is what runs at 100 TB."""
+    clarity; Arrow matmul form since r5); q38_neardup_dedup_lsh oracles
+    the same clustering fed from the LSH scale path — that composition is
+    what runs at 100 TB."""
     from json_schemer_spark.operators.dedup import dup_clusters
-    from json_schemer_spark.operators.similarity import neardup_pairs_exact
+    from json_schemer_spark.operators.similarity import neardup_pairs_exact_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = neardup_pairs_exact(emb, threshold=0.42).select(
+    pairs = neardup_pairs_exact_arrow(emb, threshold=0.42).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return dup_clusters(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
 

@@ -301,6 +301,61 @@ def neardup_pairs_exact(
     )
 
 
+def neardup_pairs_exact_arrow(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs — the Arrow/numpy twin of
+    :func:`neardup_pairs_exact` (same contract: (id_a, id_b), id_a < id_b,
+    cosine >= threshold, every qualifying unordered pair exactly once).
+
+    The JVM baseline evaluates the cosine as an interpreted
+    higher-order-function expression per combination inside a
+    BroadcastNestedLoopJoin — correct, but ~10× slower than BLAS on the
+    same pair count. Here the (small, by the exact-baseline's own
+    broadcast contract — the nested-loop join ships one full side to every
+    executor already) table is collected once, L2-normalized into a dense
+    float64 matrix, and every Arrow batch does ONE matmul
+    ``B_norm @ M_norm.T`` in ``mapInPandas``; a batch row ``x`` emits
+    (x, y) only for ``x < y``, so each unordered pair surfaces exactly
+    once with no distinct. Still O(n²) compute by definition — the scale
+    path remains :func:`neardup_pairs_lsh`; this exists so the declared
+    exact ORACLE baseline is cheap enough to run routinely.
+
+    Caveat (same as :func:`brute_force_topk_arrow`): BLAS accumulates in a
+    different order than the JVM left-fold / a SQL SUM, so cosines can
+    differ in the last ulp — a pair sitting EXACTLY on the threshold could
+    resolve differently. tests/test_operators.py asserts the synthetic
+    data keeps a wide margin around the q29 threshold.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def pair_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            S = Bn @ Mn.T  # (n_batch, n_all)
+            hit = (S >= threshold) & np.less.outer(bids, ids)
+            bi, mi = np.nonzero(hit)
+            yield pd.DataFrame({"id_a": bids[bi], "id_b": ids[mi]})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        pair_batches, "id_a long, id_b long"
+    )
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     dim: int,

@@ -243,6 +243,36 @@ def test_embedding_neardup_lsh_recall(spark):
     assert recall >= 0.9, f"near-dup pair recall {recall}"
 
 
+def test_neardup_exact_arrow_identical_to_jvm(spark):
+    """neardup_pairs_exact_arrow (BLAS matmul per Arrow batch — what q29/q33
+    ship since r5) returns EXACTLY the JVM nested-loop baseline's pair set
+    on the real sf0.001 embeddings at the shipped threshold, and the data
+    keeps a wide margin around that threshold so the documented last-ulp
+    accumulation-order caveat cannot flip a pair."""
+    import numpy as np
+
+    from json_schemer_spark.operators.similarity import (
+        neardup_pairs_exact,
+        neardup_pairs_exact_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    jvm = {(r.id_a, r.id_b) for r in neardup_pairs_exact(emb, 0.42).collect()}
+    arw = {(r.id_a, r.id_b)
+           for r in neardup_pairs_exact_arrow(emb, 0.42).collect()}
+    assert jvm, "fixture must contain pairs at the shipped threshold"
+    assert arw == jvm
+
+    # threshold-margin guard: nearest cosine to 0.42 on either side
+    rows = emb.select("vec_id", "embedding").collect()
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu = np.triu_indices(len(rows), k=1)
+    margin = np.abs(S[iu] - 0.42).min()
+    assert margin > 1e-6, f"threshold margin {margin} too tight for BLAS ulp"
+
+
 def test_embedding_neardup_identical_vectors_always_found(spark):
     """Identical vectors collide in every SRP table — recall 1.0 by
     construction, even at one table."""
