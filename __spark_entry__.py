@@ -570,14 +570,15 @@ def q35_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q36_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode (rounds 4-5): RIFF/WAVE PCM16, 24-bit BMP
-    and non-interlaced 8-bit PNG payloads synthesized as genuine files and
-    decoded by pure-stdlib parsers inside one Arrow-batched mapInPandas
-    stage — header/chunk parse (PNG: CRC check + zlib inflate + all-five
-    scanline unfilters), sample/pixel extraction, RMS/luminance
-    featurization. JPEG/MP4 remain declared stubs (need PIL/ffmpeg).
-    Golden regenerated intentionally in round 5 when PNG payloads joined
-    the synthesized media mix."""
+    """REAL multimodal decode (rounds 4-5): RIFF/WAVE PCM16, 24-bit BMP,
+    non-interlaced 8-bit PNG and baseline 4:4:4 JPEG payloads synthesized
+    as genuine files and decoded by pure-stdlib parsers inside one
+    Arrow-batched mapInPandas stage — header/chunk/marker parse (PNG: CRC
+    check + zlib inflate + all-five scanline unfilters; JPEG: canonical
+    Huffman entropy decode + dequant + IDCT), sample/pixel extraction,
+    RMS/luminance featurization. Only MP4/video remains a declared stub
+    (needs ffmpeg). Golden regenerated intentionally in round 5 as PNG
+    then JPEG payloads joined the synthesized media mix."""
     from json_schemer_spark.operators.multimodal import (
         extract_features_real,
         synth_media_real,

@@ -1,14 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-WAV-PCM16, 24-bit BMP and non-interlaced 8-bit PNG have REAL pure-stdlib
-decoders (``decode_wav`` / ``decode_bmp`` / ``decode_png`` +
-``extract_features_real``). JPEG/MP4 decode is STUBBED (genuinely needs
-PIL/ffmpeg, absent in this environment): ``extract_features`` raises
-NotImplementedError unless the deterministic fake decoder is requested.
-Everything Spark-side is real and tested — schemas, ``mapInPandas`` batch
-shapes, partition sizing — so a real JPEG/MP4 decoder drops in as a single
-function swap.
+WAV-PCM16, 24-bit BMP, non-interlaced 8-bit PNG and baseline 4:4:4 JPEG
+have REAL pure-stdlib decoders (``decode_wav`` / ``decode_bmp`` /
+``decode_png`` / ``jpeg.decode_jpeg`` + ``extract_features_real``).
+MP4/video decode is STUBBED (genuinely needs ffmpeg, absent in this
+environment): ``extract_features`` raises NotImplementedError unless the
+deterministic fake decoder is requested. Everything Spark-side is real
+and tested — schemas, ``mapInPandas`` batch shapes, partition sizing —
+so a real video decoder drops in as a single function swap.
 """
 
 from __future__ import annotations
@@ -74,9 +74,9 @@ def extract_features(
 
     if not use_fake_decoder:
         raise NotImplementedError(
-            "this generic path decodes nothing; JPEG/MP4 decode requires "
-            "PIL/ffmpeg (absent in this environment). WAV/BMP/PNG have REAL "
-            "pure-stdlib decoders — use extract_features_real. Pass "
+            "this generic path decodes nothing; MP4/video decode requires "
+            "ffmpeg (absent in this environment). WAV/BMP/PNG/JPEG have "
+            "REAL pure-stdlib decoders — use extract_features_real. Pass "
             "use_fake_decoder=True here for the plumbing path"
         )
 
@@ -352,6 +352,28 @@ def decode_png(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return width, height, px
 
 
+def synth_jpeg_bytes(media_id: int, seed: str = "jss-jpeg-v1",
+                     width: int = 16, height: int = 16) -> bytes:
+    """A genuine baseline JFIF JPEG, deterministic per id. Pixels are a
+    hash-seeded smooth gradient (unlike the BMP/PNG hash noise —
+    JPEG-natural content keeps the quantization error and file size small
+    while still exercising DC prediction and AC runs in every block)."""
+    from json_schemer_spark.operators.jpeg import encode_jpeg
+
+    h = 2166136261
+    for ch in f"{seed}:{media_id}".encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    px = [
+        (
+            (h + 9 * x + 5 * y) % 256,
+            ((h >> 8) + 3 * x + 11 * y) % 256,
+            ((h >> 16) + 6 * x + 2 * y) % 256,
+        )
+        for y in range(height) for x in range(width)
+    ]
+    return encode_jpeg(width, height, px)
+
+
 def wav_features(samples: list[int], dim: int) -> list[float]:
     """Per-chunk RMS over ``dim`` equal time slices, normalized to [0, 1]."""
     if not samples:
@@ -380,9 +402,9 @@ def bmp_features(width: int, height: int, px: list[tuple[int, int, int]],
 
 
 def synth_media_real(spark, n_rows: int, seed: str = "jss-media-real-v1") -> DataFrame:
-    """Media table whose payloads are REAL decodable files (ids mod 3:
-    0 → WAV, 1 → BMP, 2 → PNG) — generated per Arrow batch on the
-    executors, not the driver."""
+    """Media table whose payloads are REAL decodable files (ids mod 4:
+    0 → WAV, 1 → BMP, 2 → PNG, 3 → JPEG) — generated per Arrow batch on
+    the executors, not the driver."""
     import pandas as pd
 
     def gen(batches):
@@ -391,7 +413,7 @@ def synth_media_real(spark, n_rows: int, seed: str = "jss-media-real-v1") -> Dat
             rows = {"media_id": [], "kind": [], "mime": [], "width": [],
                     "height": [], "duration_ms": [], "data": []}
             for i in ids:
-                if i % 3 == 0:
+                if i % 4 == 0:
                     rows["media_id"].append(i); rows["kind"].append("audio")
                     rows["mime"].append("audio/wav")
                     rows["width"].append(None); rows["height"].append(None)
@@ -399,13 +421,15 @@ def synth_media_real(spark, n_rows: int, seed: str = "jss-media-real-v1") -> Dat
                     rows["data"].append(synth_wav_bytes(i, seed=seed))
                 else:
                     rows["media_id"].append(i); rows["kind"].append("image")
-                    mime = "image/bmp" if i % 3 == 1 else "image/png"
+                    mime = {1: "image/bmp", 2: "image/png",
+                            3: "image/jpeg"}[i % 4]
                     rows["mime"].append(mime)
                     rows["width"].append(16); rows["height"].append(16)
                     rows["duration_ms"].append(None)
                     rows["data"].append(
-                        synth_bmp_bytes(i, seed=seed) if i % 3 == 1
-                        else synth_png_bytes(i, seed=seed)
+                        synth_bmp_bytes(i, seed=seed) if i % 4 == 1
+                        else synth_png_bytes(i, seed=seed) if i % 4 == 2
+                        else synth_jpeg_bytes(i, seed=seed)
                     )
             yield pd.DataFrame(rows)
 
@@ -413,12 +437,14 @@ def synth_media_real(spark, n_rows: int, seed: str = "jss-media-real-v1") -> Dat
 
 
 def extract_features_real(df: DataFrame, dim: int = 16) -> DataFrame:
-    """media table → features with REAL decoding for WAV-PCM16, 24-bit BMP
-    and non-interlaced 8-bit PNG payloads (dispatch by mime); undecodable
-    rows get decode_ok=False and zero features instead of failing the
-    batch. Same single mapInPandas stage and schema as
-    :func:`extract_features`."""
+    """media table → features with REAL decoding for WAV-PCM16, 24-bit
+    BMP, non-interlaced 8-bit PNG and baseline 4:4:4 JPEG payloads
+    (dispatch by mime); undecodable rows get decode_ok=False and zero
+    features instead of failing the batch. Same single mapInPandas stage
+    and schema as :func:`extract_features`."""
     import pandas as pd
+
+    from json_schemer_spark.operators.jpeg import decode_jpeg
 
     def run(batches):
         for pdf in batches:
@@ -434,6 +460,9 @@ def extract_features_real(df: DataFrame, dim: int = 16) -> DataFrame:
                         feats.append(bmp_features(w, hgt, px, dim)); ok.append(True)
                     elif mime == "image/png":
                         w, hgt, px = decode_png(data)
+                        feats.append(bmp_features(w, hgt, px, dim)); ok.append(True)
+                    elif mime == "image/jpeg":
+                        w, hgt, px = decode_jpeg(data)
                         feats.append(bmp_features(w, hgt, px, dim)); ok.append(True)
                     else:
                         feats.append([0.0] * dim); ok.append(False)

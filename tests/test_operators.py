@@ -551,15 +551,21 @@ def test_real_wav_bmp_decode_roundtrip(spark):
     out = {r.media_id: r for r in extract_features_real(media, dim=8).collect()}
     assert len(out) == 21 and all(r.decode_ok for r in out.values())
     # features match a driver-side reference decode bit-for-bit
-    for mid in (0, 1, 2, 6, 13, 20):
-        if mid % 3 == 0:
+    from json_schemer_spark.operators.jpeg import decode_jpeg
+    from json_schemer_spark.operators.multimodal import synth_jpeg_bytes
+
+    for mid in (0, 1, 2, 3, 6, 13, 19, 20):
+        if mid % 4 == 0:
             _, s = decode_wav(synth_wav_bytes(mid, seed="jss-media-real-v1"))
             want = wav_features(s, 8)
-        elif mid % 3 == 1:
+        elif mid % 4 == 1:
             ww, hh, pp = decode_bmp(synth_bmp_bytes(mid, seed="jss-media-real-v1"))
             want = bmp_features(ww, hh, pp, 8)
-        else:
+        elif mid % 4 == 2:
             ww, hh, pp = decode_png(synth_png_bytes(mid, seed="jss-media-real-v1"))
+            want = bmp_features(ww, hh, pp, 8)
+        else:
+            ww, hh, pp = decode_jpeg(synth_jpeg_bytes(mid, seed="jss-media-real-v1"))
             want = bmp_features(ww, hh, pp, 8)
         got = list(out[mid].features)
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want)), mid
@@ -568,6 +574,59 @@ def test_real_wav_bmp_decode_roundtrip(spark):
     from json_schemer_spark.operators.multimodal import synth_media
     fake = synth_media(spark, 6)  # payloads are hashes with png/mp4 mimes
     res = extract_features_real(fake, dim=8).collect()
+    _assert_degrades(res)
+
+
+def test_jpeg_codec_roundtrip():
+    """Round 5: baseline JPEG is pure-stdlib too (the round-4 'JPEG needs
+    PIL' claim was wrong — T.81 SOF0 is just struct + integer math). The
+    codec contract is BOUNDED error, not equality (JPEG is lossy):
+    flat-color images (DC-only blocks) round-trip within ±2 per channel,
+    gradients within 30 dB PSNR; the encoder is deterministic; garbage,
+    truncation and unsupported coding modes raise ValueError."""
+    import math
+
+    import pytest as _pytest
+
+    from json_schemer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w = h = 16
+    flat = [(200, 100, 50)] * (w * h)
+    data = encode_jpeg(w, h, flat)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w2, h2, out = decode_jpeg(data)
+    assert (w2, h2) == (w, h)
+    assert max(abs(a - b) for p, q in zip(flat, out) for a, b in zip(p, q)) <= 2
+
+    grad = [(x * 255 // 15, y * 255 // 15, (x + y) * 255 // 30)
+            for y in range(h) for x in range(w)]
+    data = encode_jpeg(w, h, grad)
+    assert encode_jpeg(w, h, grad) == data  # deterministic
+    _, _, out = decode_jpeg(data)
+    errs = [a - b for p, q in zip(grad, out) for a, b in zip(p, q)]
+    psnr = 10 * math.log10(255 * 255 / (sum(e * e for e in errs) / len(errs)))
+    assert psnr > 30, psnr
+
+    # odd dimensions exercise edge replication on both axes
+    px = [(i % 256, (i * 7) % 256, (i * 13) % 256) for i in range(13 * 11)]
+    w2, h2, out = decode_jpeg(encode_jpeg(13, 11, px))
+    assert (w2, h2, len(out)) == (13, 11, 13 * 11)
+
+    # NOTE: JPEG carries no integrity check (unlike PNG's CRC) — a payload
+    # bit-flip legally decodes to different pixels, so corruption tests
+    # mutate STRUCTURE: missing SOI, truncation mid-headers, a DHT marker
+    # rewritten to an unsupported SOF.
+    for bad in (b"", b"\x89PNG", data[:30],
+                data.replace(b"\xff\xc4", b"\xff\xc5", 1)):
+        with _pytest.raises((ValueError, IndexError, KeyError)):
+            decode_jpeg(bad)
+    # progressive (SOF2) explicitly refused, not mis-decoded
+    sof2 = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        decode_jpeg(sof2)
+
+
+def _assert_degrades(res):
     assert res and all(not r.decode_ok for r in res)
 
 
