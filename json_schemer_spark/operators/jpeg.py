@@ -311,19 +311,29 @@ def _encode_block(
 
 
 def encode_jpeg(
-    width: int, height: int, px: list[tuple[int, int, int]]
+    width: int, height: int, px: list[tuple[int, int, int]],
+    subsample: str = "444",
 ) -> bytes:
-    """RGB pixels (row-major) → baseline JFIF bytes, 4:4:4, Annex-K tables."""
+    """RGB pixels (row-major) → baseline JFIF bytes, Annex-K tables.
+
+    ``subsample="444"`` emits one 8×8 block per component per MCU;
+    ``"420"`` emits the real-world-dominant layout — 16×16 MCUs of four
+    luma blocks plus one 2×2-averaged block each of Cb/Cr — which is what
+    exercises the decoder's general MCU/upsampling path.
+    """
     if len(px) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
 
     dc_l = _canonical_codes(*DC_LUMA_SPEC)
     ac_l = _canonical_codes(*AC_LUMA_SPEC)
     dc_c = _canonical_codes(*DC_CHROMA_SPEC)
     ac_c = _canonical_codes(*AC_CHROMA_SPEC)
 
-    # plane extraction with edge replication to 8-multiples
-    bw_, bh = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    mcu = 8 if subsample == "444" else 16
+    # full-res planes with edge replication to MCU multiples
+    bw_, bh = (width + mcu - 1) // mcu * mcu, (height + mcu - 1) // mcu * mcu
     planes: list[list[float]] = [[0.0] * (bw_ * bh) for _ in range(3)]
     for y in range(bh):
         sy = min(y, height - 1)
@@ -333,30 +343,56 @@ def encode_jpeg(
             idx = y * bw_ + x
             planes[0][idx], planes[1][idx], planes[2][idx] = yy, cb, cr
 
+    if subsample == "420":
+        cw, ch = bw_ // 2, bh // 2
+        chroma = []
+        for ci in (1, 2):
+            p = [0.0] * (cw * ch)
+            for y in range(ch):
+                for x in range(cw):
+                    s = (planes[ci][(2 * y) * bw_ + 2 * x]
+                         + planes[ci][(2 * y) * bw_ + 2 * x + 1]
+                         + planes[ci][(2 * y + 1) * bw_ + 2 * x]
+                         + planes[ci][(2 * y + 1) * bw_ + 2 * x + 1])
+                    p[y * cw + x] = s / 4.0
+            chroma.append(p)
+
+    def grab(plane: list[float], pw: int, oy: int, ox: int) -> list[float]:
+        return [plane[(oy + dy) * pw + ox + dx]
+                for dy in range(8) for dx in range(8)]
+
     writer = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(0, bh, 8):
-        for bx in range(0, bw_, 8):
-            for ci in range(3):
-                block = [
-                    planes[ci][(by + dy) * bw_ + bx + dx]
-                    for dy in range(8) for dx in range(8)
-                ]
-                qt = QT_LUMA if ci == 0 else QT_CHROMA
-                dc = dc_l if ci == 0 else dc_c
-                ac = ac_l if ci == 0 else ac_c
-                preds[ci] = _encode_block(block, qt, dc, ac, preds[ci], writer)
+    for by in range(0, bh, mcu):
+        for bx in range(0, bw_, mcu):
+            if subsample == "444":
+                for ci in range(3):
+                    blk = grab(planes[ci], bw_, by, bx)
+                    qt = QT_LUMA if ci == 0 else QT_CHROMA
+                    dc = dc_l if ci == 0 else dc_c
+                    ac = ac_l if ci == 0 else ac_c
+                    preds[ci] = _encode_block(blk, qt, dc, ac, preds[ci], writer)
+            else:
+                for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    blk = grab(planes[0], bw_, by + dy, bx + dx)
+                    preds[0] = _encode_block(blk, QT_LUMA, dc_l, ac_l,
+                                             preds[0], writer)
+                for ci in (1, 2):
+                    blk = grab(chroma[ci - 1], cw, by // 2, bx // 2)
+                    preds[ci] = _encode_block(blk, QT_CHROMA, dc_c, ac_c,
+                                              preds[ci], writer)
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    y_samp = 0x11 if subsample == "444" else 0x22
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, bytes([0]) + bytes(QT_LUMA[ZIGZAG[i]] for i in range(64)))
     out += seg(0xFFDB, bytes([1]) + bytes(QT_CHROMA[ZIGZAG[i]] for i in range(64)))
     sof = struct.pack(">BHHB", 8, height, width, 3)
-    sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])  # 4:4:4
+    sof += bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1])
     out += seg(0xFFC0, sof)
     for cls, tid, (bits, vals) in (
         (0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC),
@@ -376,9 +412,11 @@ def encode_jpeg(
 def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Baseline JFIF bytes → (width, height, row-major RGB pixels).
 
-    Supports SOF0, 8-bit, 1 component (grayscale) or 3 components at
-    4:4:4; raises ValueError on anything else (progressive, subsampled,
-    arithmetic-coded, 12-bit, DRI restarts).
+    Supports SOF0, 8-bit, 1 component (grayscale) or 3 components at any
+    sampling with factors ≤ 2 — i.e. 4:4:4, 4:2:2, 4:4:0 and the
+    real-world-dominant 4:2:0 (interleaved MCUs, nearest-neighbour chroma
+    upsampling); raises ValueError on anything else (progressive,
+    arithmetic-coded, 12-bit, DRI restarts, factors > 2).
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -419,8 +457,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 raise ValueError("jpeg: only 8-bit precision supported")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i: 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("jpeg: subsampled JPEG unsupported (4:4:4 only)")
+                ch, cv = samp >> 4, samp & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise ValueError("jpeg: sampling factors > 2 unsupported")
                 comps.append((cid, samp, tq))
             pos += seglen
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -458,39 +497,56 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError("jpeg: 1 or 3 components only")
 
     br = _BitReader(data, pos)
-    bw_, bh = (width + 7) // 8 * 8, (height + 7) // 8 * 8
-    planes = [[0.0] * (bw_ * bh) for _ in range(nc)]
+    # A single-component scan is non-interleaved: plain 8×8 block raster
+    # over the image, sampling factors irrelevant (T.81 A.2.2)
+    samps = ([(1, 1)] if nc == 1
+             else [(s >> 4, s & 0x0F) for _, s, _ in comps])
+    hmax = max(h for h, _ in samps)
+    vmax = max(v for _, v in samps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    pw = [mcux * 8 * h for h, _ in samps]  # per-component plane dims
+    planes = [[0.0] * (pw[i] * mcuy * 8 * samps[i][1]) for i in range(nc)]
     preds = [0] * nc
-    for by in range(0, bh, 8):
-        for bx in range(0, bw_, 8):
+
+    def decode_block(ci: int, dc_tid: int, ac_tid: int, oy: int, ox: int):
+        dc_h, ac_h = huffs[(0, dc_tid)], huffs[(1, ac_tid)]
+        qt = qts[comps[ci][2]]
+        zz = [0] * 64
+        size = dc_h.decode(br)
+        preds[ci] += _extend(br.read_bits(size), size)
+        zz[0] = preds[ci]
+        i = 1
+        while i < 64:
+            rs = ac_h.decode(br)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:
+                    i += 16  # ZRL
+                    continue
+                break  # EOB
+            i += run
+            if i > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[i] = _extend(br.read_bits(size), size)
+            i += 1
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
+        blk = _idct_block(coef)
+        w_ = pw[ci]
+        for dy in range(8):
+            for dx in range(8):
+                planes[ci][(oy + dy) * w_ + ox + dx] = blk[dy * 8 + dx] + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, dc_tid, ac_tid in scan:
-                dc_h, ac_h = huffs[(0, dc_tid)], huffs[(1, ac_tid)]
-                qt = qts[comps[ci][2]]
-                zz = [0] * 64
-                size = dc_h.decode(br)
-                preds[ci] += _extend(br.read_bits(size), size)
-                zz[0] = preds[ci]
-                i = 1
-                while i < 64:
-                    rs = ac_h.decode(br)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            i += 16  # ZRL
-                            continue
-                        break  # EOB
-                    i += run
-                    if i > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    zz[i] = _extend(br.read_bits(size), size)
-                    i += 1
-                coef = [0.0] * 64
-                for i in range(64):
-                    coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
-                blk = _idct_block(coef)
-                for dy in range(8):
-                    for dx in range(8):
-                        planes[ci][(by + dy) * bw_ + bx + dx] = blk[dy * 8 + dx] + 128.0
+                h, v = samps[ci]
+                for byi in range(v):
+                    for bxi in range(h):
+                        decode_block(ci, dc_tid, ac_tid,
+                                     (my * v + byi) * 8, (mx * h + bxi) * 8)
 
     def clamp(v: float) -> int:
         return 0 if v < 0 else 255 if v > 255 else int(v + 0.5)
@@ -498,12 +554,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     out: list[tuple[int, int, int]] = []
     for y in range(height):
         for x in range(width):
-            idx = y * bw_ + x
             if nc == 1:
-                g = clamp(planes[0][idx])
+                g = clamp(planes[0][y * pw[0] + x])
                 out.append((g, g, g))
             else:
-                yy, cb, cr = planes[0][idx], planes[1][idx] - 128.0, planes[2][idx] - 128.0
+                # nearest-neighbour upsampling of subsampled components
+                vals = []
+                for ci in range(3):
+                    h, v = samps[ci]
+                    vals.append(
+                        planes[ci][(y * v // vmax) * pw[ci] + (x * h // hmax)])
+                yy, cb, cr = vals[0], vals[1] - 128.0, vals[2] - 128.0
                 out.append((
                     clamp(yy + 1.402 * cr),
                     clamp(yy - 0.344136 * cb - 0.714136 * cr),

@@ -357,7 +357,9 @@ def synth_jpeg_bytes(media_id: int, seed: str = "jss-jpeg-v1",
     """A genuine baseline JFIF JPEG, deterministic per id. Pixels are a
     hash-seeded smooth gradient (unlike the BMP/PNG hash noise —
     JPEG-natural content keeps the quantization error and file size small
-    while still exercising DC prediction and AC runs in every block)."""
+    while still exercising DC prediction and AC runs in every block).
+    Alternating ids emit 4:4:4 and 4:2:0 so both MCU layouts (and the
+    decoder's chroma upsampling) run inside the Spark pipeline."""
     from json_schemer_spark.operators.jpeg import encode_jpeg
 
     h = 2166136261
@@ -371,7 +373,8 @@ def synth_jpeg_bytes(media_id: int, seed: str = "jss-jpeg-v1",
         )
         for y in range(height) for x in range(width)
     ]
-    return encode_jpeg(width, height, px)
+    sub = "420" if media_id % 8 == 7 else "444"
+    return encode_jpeg(width, height, px, subsample=sub)
 
 
 def wav_features(samples: list[int], dim: int) -> list[float]:

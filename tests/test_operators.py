@@ -612,6 +612,22 @@ def test_jpeg_codec_roundtrip():
     w2, h2, out = decode_jpeg(encode_jpeg(13, 11, px))
     assert (w2, h2, len(out)) == (13, 11, 13 * 11)
 
+    # 4:2:0 — the real-world-dominant layout: 16x16 interleaved MCUs
+    # (4 Y + downsampled Cb + Cr), decoder upsamples chroma. Bounds are
+    # looser (chroma carries half the resolution): flat stays +-2, the
+    # gradient loses ~5 dB to subsampling but stays > 28 dB.
+    d420 = encode_jpeg(w, h, flat, subsample="420")
+    _, _, out = decode_jpeg(d420)
+    assert max(abs(a - b) for p, q in zip(flat, out) for a, b in zip(p, q)) <= 2
+    _, _, out = decode_jpeg(encode_jpeg(w, h, grad, subsample="420"))
+    errs = [a - b for p, q in zip(grad, out) for a, b in zip(p, q)]
+    psnr420 = 10 * math.log10(255 * 255 / (sum(e * e for e in errs) / len(errs)))
+    assert psnr420 > 28, psnr420
+    # odd dims at 420: MCU (16x16) padding on both axes
+    px2 = [(i % 256, (i * 7) % 256, (i * 13) % 256) for i in range(21 * 13)]
+    w2, h2, out = decode_jpeg(encode_jpeg(21, 13, px2, subsample="420"))
+    assert (w2, h2, len(out)) == (21, 13, 21 * 13)
+
     # NOTE: JPEG carries no integrity check (unlike PNG's CRC) — a payload
     # bit-flip legally decodes to different pixels, so corruption tests
     # mutate STRUCTURE: missing SOI, truncation mid-headers, a DHT marker
