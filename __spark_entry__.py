@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_neardup_dedup_lsh": q38_neardup_dedup_lsh,
         "q39_recursive_validate": q39_recursive_validate,
         "q40_repetition_filter": q40_repetition_filter,
+        "q41_media_probe": q41_media_probe,
     }
 
 
@@ -722,6 +723,44 @@ def q40_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
         "kept",
     )
+
+
+def q41_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-metadata probe across every supported media format
+    in one Arrow-batched mapInPandas stage (multimodal.probe_media_metadata):
+    WAV duration from sample count/rate, BMP/PNG/JPEG decoded dimensions,
+    and MP4 via a genuine ISO BMFF box walk (ftyp/moov/mvhd/tkhd — the
+    container parse is real; only frame decode needs a codec and stays
+    the declared stub). Input: synth_media_real's wav/bmp/png/jpeg mix
+    plus synthesized BMFF containers. Deterministic → golden fixture."""
+    import pandas as pd  # noqa: F401
+
+    from json_schemer_spark.operators.multimodal import (
+        probe_media_metadata,
+        synth_media_real,
+        synth_mp4_bytes,
+    )
+
+    media = synth_media_real(spark, 800)
+
+    def add_mp4(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "media_id": [10_000 + i for i in ids],
+                "kind": ["video"] * len(ids),
+                "mime": ["video/mp4"] * len(ids),
+                "width": [None] * len(ids), "height": [None] * len(ids),
+                "duration_ms": [None] * len(ids),
+                "data": [synth_mp4_bytes(i) for i in ids],
+            })
+
+    from json_schemer_spark.operators.multimodal import MEDIA_SCHEMA
+    vids = spark.range(200).mapInPandas(add_mp4, schema=MEDIA_SCHEMA)
+    out = probe_media_metadata(media.unionByName(vids))
+    return out.select("media_id", "kind", "mime", "width", "height",
+                      "duration_ms", "probe_ok")
 
 
 def _ensure_oracle_caches() -> None:

@@ -27,6 +27,7 @@ QUERIES = [
     "q34_ann_ivf_recall",
     "q36_media_features_real",
     "q38_neardup_dedup_lsh",
+    "q41_media_probe",
 ]
 
 

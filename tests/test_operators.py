@@ -646,6 +646,61 @@ def _assert_degrades(res):
     assert res and all(not r.decode_ok for r in res)
 
 
+def test_mp4_probe_and_media_metadata(spark):
+    """Round 5: the MP4 *container* is pure struct — synth_mp4_bytes emits
+    genuine ISO BMFF (ftyp/moov/mvhd/tkhd/mdat) and probe_mp4 recovers
+    duration/dims/brand exactly; only frame decode remains the declared
+    codec stub. probe_media_metadata probes every format in one
+    mapInPandas stage, and frame_sample_plan consumes the REAL probed
+    durations."""
+    import pytest as _pytest
+
+    from json_schemer_spark.operators.multimodal import (
+        frame_sample_plan,
+        probe_media_metadata,
+        probe_mp4,
+        synth_media_real,
+        synth_mp4_bytes,
+    )
+
+    dur, w, h, brand = probe_mp4(synth_mp4_bytes(5))
+    assert brand == "isom" and 500 <= dur < 60500 and w >= 16 and h >= 16
+    for bad in (b"", b"RIFFnope", synth_mp4_bytes(1)[:40]):
+        with _pytest.raises(ValueError):
+            probe_mp4(bad)
+
+    media = synth_media_real(spark, 12)
+
+    def vids(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "media_id": [100 + i for i in ids], "kind": ["video"] * len(ids),
+                "mime": ["video/mp4"] * len(ids), "width": [None] * len(ids),
+                "height": [None] * len(ids), "duration_ms": [None] * len(ids),
+                "data": [synth_mp4_bytes(i) for i in ids]})
+
+    from json_schemer_spark.operators.multimodal import MEDIA_SCHEMA
+    allmedia = media.unionByName(spark.range(4).mapInPandas(vids, MEDIA_SCHEMA))
+    probed = probe_media_metadata(allmedia)
+    rows = {r.media_id: r for r in probed.collect()}
+    assert all(r.probe_ok for r in rows.values())
+    # images got dims, audio/video got durations — from the actual bytes
+    assert all(rows[i].width == 16 for i in range(12) if i % 4 in (1, 2, 3))
+    assert all(rows[i].duration_ms == 100 for i in range(12) if i % 4 == 0)
+    for i in range(4):
+        want, _, _, _ = probe_mp4(synth_mp4_bytes(i))
+        assert rows[100 + i].duration_ms == want
+
+    # frame_sample_plan over REAL probed durations: one row per sampled ts
+    plan = frame_sample_plan(probed.withColumnRenamed("probe_ok", "ok"),
+                             every_ms=10_000)
+    got = plan.groupBy("media_id").count().collect()
+    for r in got:
+        assert r["count"] == rows[r.media_id].duration_ms // 10_000 + 1
+
+
 def test_hll_sketch_profile_mergeable(spark):
     """Sketches are the artifact: half-profiles union to the whole-table
     answer without rescanning, and dense-regime accuracy stays within the
