@@ -319,19 +319,21 @@ def encode_jpeg(
     ``subsample="444"`` emits one 8×8 block per component per MCU;
     ``"420"`` emits the real-world-dominant layout — 16×16 MCUs of four
     luma blocks plus one 2×2-averaged block each of Cb/Cr — which is what
-    exercises the decoder's general MCU/upsampling path.
+    exercises the decoder's general MCU/upsampling path; ``"gray"`` emits
+    a single-component (luma-only) image, the decoder's non-interleaved
+    scan path.
     """
     if len(px) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "420", "gray"):
+        raise ValueError("subsample must be '444', '420' or 'gray'")
 
     dc_l = _canonical_codes(*DC_LUMA_SPEC)
     ac_l = _canonical_codes(*AC_LUMA_SPEC)
     dc_c = _canonical_codes(*DC_CHROMA_SPEC)
     ac_c = _canonical_codes(*AC_CHROMA_SPEC)
 
-    mcu = 8 if subsample == "444" else 16
+    mcu = 16 if subsample == "420" else 8
     # full-res planes with edge replication to MCU multiples
     bw_, bh = (width + mcu - 1) // mcu * mcu, (height + mcu - 1) // mcu * mcu
     planes: list[list[float]] = [[0.0] * (bw_ * bh) for _ in range(3)]
@@ -365,7 +367,11 @@ def encode_jpeg(
     preds = [0, 0, 0]
     for by in range(0, bh, mcu):
         for bx in range(0, bw_, mcu):
-            if subsample == "444":
+            if subsample == "gray":
+                blk = grab(planes[0], bw_, by, bx)
+                preds[0] = _encode_block(blk, QT_LUMA, dc_l, ac_l,
+                                         preds[0], writer)
+            elif subsample == "444":
                 for ci in range(3):
                     blk = grab(planes[ci], bw_, by, bx)
                     qt = QT_LUMA if ci == 0 else QT_CHROMA
@@ -386,20 +392,27 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    y_samp = 0x11 if subsample == "444" else 0x22
+    y_samp = 0x22 if subsample == "420" else 0x11
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, bytes([0]) + bytes(QT_LUMA[ZIGZAG[i]] for i in range(64)))
-    out += seg(0xFFDB, bytes([1]) + bytes(QT_CHROMA[ZIGZAG[i]] for i in range(64)))
-    sof = struct.pack(">BHHB", 8, height, width, 3)
-    sof += bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1])
+    if subsample != "gray":
+        out += seg(0xFFDB, bytes([1]) + bytes(QT_CHROMA[ZIGZAG[i]] for i in range(64)))
+    if subsample == "gray":
+        sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    else:
+        sof = (struct.pack(">BHHB", 8, height, width, 3)
+               + bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1]))
     out += seg(0xFFC0, sof)
-    for cls, tid, (bits, vals) in (
-        (0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC),
-        (0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC),
-    ):
+    tables = ((0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC))
+    if subsample != "gray":
+        tables += ((0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC))
+    for cls, tid, (bits, vals) in tables:
         out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    if subsample == "gray":
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    else:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xFFDA, sos)
     out += writer.buf
     out += b"\xff\xd9"  # EOI

@@ -628,6 +628,13 @@ def test_jpeg_codec_roundtrip():
     w2, h2, out = decode_jpeg(encode_jpeg(21, 13, px2, subsample="420"))
     assert (w2, h2, len(out)) == (21, 13, 21 * 13)
 
+    # grayscale: single-component SOF + non-interleaved scan; decode
+    # replicates luma into (g, g, g), tight bound (no chroma to lose)
+    gpx = [(v, v, v) for v in (x * 255 // 15 for y in range(h) for x in range(w))]
+    _, _, out = decode_jpeg(encode_jpeg(w, h, gpx, subsample="gray"))
+    assert all(r == g == b for r, g, b in out)
+    assert max(abs(a - b) for p, q in zip(gpx, out) for a, b in zip(p, q)) <= 2
+
     # NOTE: JPEG carries no integrity check (unlike PNG's CRC) — a payload
     # bit-flip legally decodes to different pixels, so corruption tests
     # mutate STRUCTURE: missing SOI, truncation mid-headers, a DHT marker
