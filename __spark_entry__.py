@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_recursive_validate": q39_recursive_validate,
         "q40_repetition_filter": q40_repetition_filter,
         "q41_media_probe": q41_media_probe,
+        "q42_media_resize": q42_media_resize,
     }
 
 
@@ -761,6 +762,38 @@ def q41_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = probe_media_metadata(media.unionByName(vids))
     return out.select("media_id", "kind", "mime", "width", "height",
                       "duration_ms", "probe_ok")
+
+
+def q42_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's image-resize op end to end: decode (BMP/PNG/JPEG),
+    box-filter resample to 8×8, lossless PNG re-encode (ONE mapInPandas
+    stage, binary→binary), then re-decode + featurize the RESIZED
+    payloads with the ordinary feature stage — proving the op composes.
+    Audio rows degrade (resize_ok=false, null payload) by contract. The
+    golden pins decoded-pixel features, not PNG bytes, so it is immune
+    to zlib build differences."""
+    from json_schemer_spark.operators.multimodal import (
+        extract_features_real,
+        resize_images,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 600)
+    resized = resize_images(media, 8, 8)
+    imgs = resized.filter(F.col("resize_ok")).select(
+        "media_id", F.lit("image").alias("kind"), "mime",
+        "width", "height", F.lit(None).cast("int").alias("duration_ms"),
+        "data")
+    feats = extract_features_real(imgs, dim=4)
+    degraded = resized.filter(~F.col("resize_ok")).select(
+        "media_id", F.lit(False).alias("resized"),
+        F.lit(None).cast("double").alias("f0"),
+        F.lit(None).cast("double").alias("f3"))
+    ok = feats.select(
+        "media_id", F.lit(True).alias("resized"),
+        F.round(F.element_at("features", 1), 6).cast("double").alias("f0"),
+        F.round(F.element_at("features", 4), 6).cast("double").alias("f3"))
+    return ok.unionByName(degraded)
 
 
 def _ensure_oracle_caches() -> None:

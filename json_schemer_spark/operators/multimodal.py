@@ -230,6 +230,98 @@ def _png_chunk(typ: bytes, body: bytes) -> bytes:
     )
 
 
+def encode_png(width: int, height: int,
+               px: list[tuple[int, int, int]]) -> bytes:
+    """RGB pixels (row-major) → genuine non-interlaced 8-bit RGB PNG
+    (filter type 0 scanlines, single zlib IDAT). Lossless — the
+    re-encode sink for :func:`resize_images`."""
+    if len(px) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    stream = bytearray()
+    for y in range(height):
+        stream.append(0)  # filter None
+        for x in range(width):
+            stream += bytes(px[y * width + x])
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_pixels(px: list[tuple[int, int, int]], w: int, h: int,
+                  tw: int, th: int) -> list[tuple[int, int, int]]:
+    """Deterministic box-filter resample (area average): each target pixel
+    averages its source rectangle — exact block means on integer-ratio
+    downscales, pixel replication on integer-ratio upscales."""
+    if tw <= 0 or th <= 0:
+        raise ValueError("target dimensions must be positive")
+    out: list[tuple[int, int, int]] = []
+    for ty in range(th):
+        y0, y1 = ty * h // th, max((ty + 1) * h // th, ty * h // th + 1)
+        for tx in range(tw):
+            x0, x1 = tx * w // tw, max((tx + 1) * w // tw, tx * w // tw + 1)
+            rs = gs = bs = n = 0
+            for sy in range(y0, y1):
+                base = sy * w
+                for sx in range(x0, x1):
+                    r, g, b = px[base + sx]
+                    rs += r; gs += g; bs += b; n += 1
+            out.append(((rs + n // 2) // n, (gs + n // 2) // n,
+                        (bs + n // 2) // n))
+    return out
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """The brief's image-resize op: decode (BMP/PNG/JPEG dispatch by
+    mime), box-filter resample to ``(target_w, target_h)``, re-encode as
+    lossless PNG — ONE Arrow-batched ``mapInPandas`` stage, binary in /
+    binary out, so it composes with any downstream decode/feature stage.
+    Non-image or undecodable rows degrade to ``resize_ok=False`` with
+    NULL payload instead of failing the batch."""
+    import pandas as pd
+
+    from json_schemer_spark.operators.jpeg import decode_jpeg
+
+    schema = ("media_id bigint, mime string, width int, height int, "
+              "data binary, resize_ok boolean")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "mime", "width", "height",
+                                    "data", "resize_ok")}
+            for mid, mime, blob in zip(pdf["media_id"], pdf["mime"],
+                                       pdf["data"]):
+                out_bytes, ok = None, False
+                try:
+                    data = bytes(blob) if blob is not None else b""
+                    if mime == "image/bmp":
+                        w, hgt, px = decode_bmp(data)
+                    elif mime == "image/png":
+                        w, hgt, px = decode_png(data)
+                    elif mime == "image/jpeg":
+                        w, hgt, px = decode_jpeg(data)
+                    else:
+                        raise ValueError("not an image")
+                    out_bytes = encode_png(
+                        target_w, target_h,
+                        resize_pixels(px, w, hgt, target_w, target_h))
+                    ok = True
+                except (ValueError, IndexError, _struct.error, _zlib.error):
+                    pass
+                rows["media_id"].append(mid)
+                rows["mime"].append("image/png" if ok else mime)
+                rows["width"].append(target_w if ok else None)
+                rows["height"].append(target_h if ok else None)
+                rows["data"].append(out_bytes)
+                rows["resize_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema)
+
+
 def synth_png_bytes(media_id: int, seed: str = "jss-png-v1",
                     width: int = 16, height: int = 16) -> bytes:
     """A genuine non-interlaced 8-bit RGB PNG, deterministic per id — the

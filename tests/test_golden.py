@@ -28,6 +28,7 @@ QUERIES = [
     "q36_media_features_real",
     "q38_neardup_dedup_lsh",
     "q41_media_probe",
+    "q42_media_resize",
 ]
 
 

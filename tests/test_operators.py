@@ -653,6 +653,43 @@ def _assert_degrades(res):
     assert res and all(not r.decode_ok for r in res)
 
 
+def test_resize_images_stage(spark):
+    """The brief's resize op: decode → box-filter resample → lossless PNG
+    re-encode in one mapInPandas stage. Downscale means are exact block
+    averages (checked against a driver-side reference), the emitted PNGs
+    decode back bit-for-bit, and non-image rows degrade instead of
+    failing the batch."""
+    from json_schemer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_png,
+        resize_images,
+        resize_pixels,
+        synth_bmp_bytes,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 16)  # ids %4: wav,bmp,png,jpeg
+    out = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    assert len(out) == 16
+    for mid, r in out.items():
+        if mid % 4 == 0:  # audio → degraded
+            assert not r.resize_ok and r.data is None
+        else:
+            assert r.resize_ok and (r.width, r.height) == (8, 8)
+            w, h, px = decode_png(bytes(r.data))
+            assert (w, h, len(px)) == (8, 8, 64)
+    # bmp rows: resized pixels equal the driver-side reference resample
+    for mid in (1, 5, 13):
+        w, h, px = decode_bmp(synth_bmp_bytes(mid, seed="jss-media-real-v1"))
+        want = resize_pixels(px, w, h, 8, 8)
+        _, _, got = decode_png(bytes(out[mid].data))
+        assert got == want, mid
+    # round-trip sanity of the general PNG encoder
+    assert decode_png(encode_png(2, 1, [(1, 2, 3), (4, 5, 6)]))[2] == \
+        [(1, 2, 3), (4, 5, 6)]
+
+
 def test_mp4_probe_and_media_metadata(spark):
     """Round 5: the MP4 *container* is pure struct — synth_mp4_bytes emits
     genuine ISO BMFF (ftyp/moov/mvhd/tkhd/mdat) and probe_mp4 recovers
