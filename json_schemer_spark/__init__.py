@@ -32,7 +32,12 @@ from json_schemer_spark.schema.dialects import (
     OPENAPI30,
     OPENAPI31,
 )
-from json_schemer_spark.schema.openapi import OpenAPIDocument, openapi
+from json_schemer_spark.schema.openapi import (
+    OpenAPIDocument,
+    openapi,
+    openapi30_document,
+    openapi31_document,
+)
 from json_schemer_spark.errors import pretty, pretty_errors_column
 from json_schemer_spark.configuration import Configuration, configuration, configure, configured
 
@@ -48,6 +53,8 @@ __all__ = [
     "configured",
     "pretty_errors_column",
     "openapi",
+    "openapi30_document",
+    "openapi31_document",
     "OpenAPIDocument",
     "DRAFT4",
     "DRAFT6",

@@ -313,6 +313,21 @@ class OpenAPIDocument:
         return got
 
 
+def openapi30_document() -> CompiledSchema:
+    """Parity with ``JSONSchemer.openapi30_document``
+    (reference `lib/json_schemer.rb:227-233`): the memoized compiled
+    validator for OpenAPI 3.0 documents themselves (the embedded official
+    OAS 3.0 document schema + its ref resolver)."""
+    return _document_schemer(30)
+
+
+def openapi31_document() -> CompiledSchema:
+    """Parity with ``JSONSchemer.openapi31_document``
+    (reference `lib/json_schemer.rb:219-225`): the memoized compiled
+    validator for OpenAPI 3.1 documents (SCHEMA_BASE + dialect metas)."""
+    return _document_schemer(31)
+
+
 def openapi(document: Any, **opts) -> OpenAPIDocument:
     """Compile an OpenAPI 3.0/3.1 document (reference: JSONSchemer.openapi)."""
     return OpenAPIDocument(document, **opts)

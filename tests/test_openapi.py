@@ -423,3 +423,21 @@ def test_unknown_json_schema_dialect_raises():
 
     with _pytest.raises(SchemaCompileError):
         openapi({"openapi": "3.1.0", "jsonSchemaDialect": "unsupported"})
+
+
+def test_openapi_document_accessors():
+    """Parity with JSONSchemer.openapi30_document / openapi31_document
+    (reference lib/json_schemer.rb:219-233): public memoized compiled
+    validators for OAS documents themselves."""
+    from json_schemer_spark import openapi30_document, openapi31_document
+
+    d30, d31 = openapi30_document(), openapi31_document()
+    assert d30 is openapi30_document() and d31 is openapi31_document()
+    ok = {"openapi": "3.0.3", "info": {"title": "t", "version": "1"},
+          "paths": {}}
+    assert d30.valid_value(ok)
+    assert not d30.valid_value({"openapi": "3.0.3"})  # missing info/paths
+    ok31 = {"openapi": "3.1.0", "info": {"title": "t", "version": "1"},
+            "paths": {}}
+    assert d31.valid_value(ok31)
+    assert not d31.valid_value({"openapi": "3.1.0", "info": {}})
