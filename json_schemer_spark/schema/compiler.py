@@ -86,6 +86,46 @@ class CompiledSchema:
         # registry-derived: honors $schema dispatch incl. custom $vocabulary
         self.dialect = self._evaluator.root_resource.dialect
         self._prepared = _UNSET  # memoized prepare() result (None = interpreter)
+        # ref()-subschema support: the root document the executor-side
+        # factory rebuilds from, plus the chain of ref values to replay
+        # (empty for a normal root plan)
+        self._factory_root = schema
+        self._sub_refs: list = []
+
+    def ref(self, value: str) -> "CompiledSchema":
+        """Parity with ``Schema#ref`` (reference `schema.rb:128-130`):
+        resolve ``value`` (a ``$ref``-style URI or fragment pointer)
+        against this schema's base URI and return a CompiledSchema over
+        the resolved subschema, e.g. ``plan.ref("#/definitions/item")``.
+
+        The parent's registry is SHARED, so refs pointing back into the
+        parent document (and anchors / remote resources) keep resolving —
+        including on executors: the interpreter factory rebuilds the
+        parent document's registry there and replays the ref chain
+        (``ref().ref()`` composes) instead of re-rooting the subschema
+        JSON, which would break document-relative pointers."""
+        ev = self._evaluator
+        target, _resource = ev.registry.resolve_ref(value, ev.root_resource.uri)
+        sub = object.__new__(CompiledSchema)
+        sub.schema = target
+        sub.assert_formats = self.assert_formats
+        sub.formats = self.formats
+        sub.keywords = self.keywords
+        sub._ref_resolver = self._ref_resolver
+        sub._base_uri = self._base_uri
+        sub._dialect_arg = self._dialect_arg
+        sub._ext_opts = self._ext_opts
+        sub._factory_root = self._factory_root
+        sub._sub_refs = self._sub_refs + [value]
+        sub._evaluator = Evaluator(
+            target, registry=ev.registry,
+            assert_formats=self.assert_formats,
+            formats=self.formats, keywords=self.keywords,
+            **self._ext_opts,
+        )
+        sub.dialect = sub._evaluator.root_resource.dialect
+        sub._prepared = _UNSET
+        return sub
 
     # -- driver-side single-value API (tests / small data) -------------------
 
@@ -323,7 +363,8 @@ class CompiledSchema:
         """Picklable zero-arg builder: reconstructs the Evaluator on each
         executor process from the schema document (cheap, memoized per
         process) rather than pickling live regex/registry state."""
-        schema_json = json.dumps(self.schema)
+        schema_json = json.dumps(self._factory_root)
+        sub_refs = list(self._sub_refs)
         dialect_name = self._dialect_arg.name if self._dialect_arg is not None else None
         assert_formats = self.assert_formats
         base_uri = self._base_uri
@@ -343,7 +384,7 @@ class CompiledSchema:
             )
             from json_schemer_spark.schema.interpreter import Evaluator as _Ev
 
-            return _Ev(
+            ev = _Ev(
                 json.loads(schema_json),
                 # mirror __init__'s Evaluator construction exactly
                 dialect=DIALECTS_BY_NAME[dialect_name] if dialect_name else _DD,
@@ -354,6 +395,17 @@ class CompiledSchema:
                 keywords=keywords,
                 **ext_opts,
             )
+            # ref()-subschema plan: replay the ref chain against the parent
+            # document's registry so back-pointers keep resolving
+            for rv in sub_refs:
+                target, resource = ev.registry.resolve_ref(
+                    rv, ev.root_resource.uri)
+                ev = _Ev(
+                    target, registry=ev.registry,
+                    assert_formats=assert_formats,
+                    formats=formats, keywords=keywords, **ext_opts,
+                )
+            return ev
 
         return build
 

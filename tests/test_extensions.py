@@ -100,3 +100,40 @@ def test_valid_schema_meta_validation():
     # draft4: boolean exclusiveMaximum requires maximum
     assert valid_schema({"exclusiveMaximum": True, "maximum": 3}, dialect=DRAFT4)
     assert not valid_schema({"exclusiveMaximum": True}, dialect=DRAFT4)
+
+
+def test_ref_subschema_plans(spark):
+    """CompiledSchema.ref (reference Schema#ref, schema.rb:128-130):
+    resolve a pointer/URI to a subschema plan sharing the parent's
+    registry. Back-refs into the parent document keep working on the
+    driver, in BOTH Spark tiers (the interpreter factory replays the ref
+    chain on executors), and ref().ref() composes."""
+    from json_schemer_spark import compile_schema
+
+    root = {
+        "definitions": {
+            "item": {"type": "object", "required": ["name"],
+                     "properties": {"name": {"$ref": "#/definitions/name"}}},
+            "name": {"type": "string", "minLength": 2},
+        },
+        "type": "array", "items": {"$ref": "#/definitions/item"},
+    }
+    plan = compile_schema(root)
+    sub = plan.ref("#/definitions/item")
+    assert sub.valid_value({"name": "ok"})
+    assert not sub.valid_value({"name": "x"}) and not sub.valid_value({})
+    # chained ref resolves against the parent document
+    name = sub.ref("#/definitions/name")
+    assert name.valid_value("ok") and not name.valid_value("x")
+
+    df = spark.createDataFrame(
+        [('{"name":"ok"}',), ('{"name":"x"}',), ('{}',)], "content string")
+    for force in (False, True):
+        out = {r.content: r.valid
+               for r in sub.validate_json_column(
+                   df, "content", force_interpreter=force).collect()}
+        assert out == {'{"name":"ok"}': True, '{"name":"x"}': False,
+                       '{}': False}, f"force_interpreter={force}"
+    # the parent plan is unaffected
+    assert plan.valid_value([{"name": "ok"}])
+    assert not plan.valid_value([{"name": "x"}])
