@@ -734,8 +734,6 @@ def q41_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     container parse is real; only frame decode needs a codec and stays
     the declared stub). Input: synth_media_real's wav/bmp/png/jpeg mix
     plus synthesized BMFF containers. Deterministic → golden fixture."""
-    import pandas as pd  # noqa: F401
-
     from json_schemer_spark.operators.multimodal import (
         probe_media_metadata,
         synth_media_real,

@@ -492,11 +492,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             raise ValueError("jpeg: DRI restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
+            if ns != len(comps):
+                # a sequential multi-scan file (one SOS per component) is
+                # legal T.81 but outside this decoder's subset — refuse
+                # loudly rather than return chroma-less pixels
+                raise ValueError("jpeg: multi-scan (non-interleaved colour) "
+                                 "files unsupported")
             for i in range(ns):
                 cid, tids = body[1 + 2 * i], body[2 + 2 * i]
                 ci = next(
-                    j for j, (c, _, _) in enumerate(comps) if c == cid
+                    (j for j, (c, _, _) in enumerate(comps) if c == cid),
+                    None,
                 )
+                if ci is None:
+                    raise ValueError("jpeg: SOS names a component absent "
+                                     "from SOF")
                 scan.append((ci, tids >> 4, tids & 0x0F))
             pos += seglen
             break
@@ -523,8 +533,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     preds = [0] * nc
 
     def decode_block(ci: int, dc_tid: int, ac_tid: int, oy: int, ox: int):
-        dc_h, ac_h = huffs[(0, dc_tid)], huffs[(1, ac_tid)]
-        qt = qts[comps[ci][2]]
+        try:
+            dc_h, ac_h = huffs[(0, dc_tid)], huffs[(1, ac_tid)]
+            qt = qts[comps[ci][2]]
+        except KeyError as exc:
+            raise ValueError(f"jpeg: missing table {exc}") from None
         zz = [0] * 64
         size = dc_h.decode(br)
         preds[ci] += _extend(br.read_bits(size), size)

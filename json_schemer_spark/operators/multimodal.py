@@ -111,12 +111,13 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL decoders for the formats pure stdlib can handle: WAV-PCM16 and
-# uncompressed 24-bit BMP (round 4), and non-interlaced 8-bit PNG (round 5 —
-# zlib + struct are all it needs: critical-chunk parse with CRC check,
-# inflate, per-scanline unfilter for all five filter types). JPEG/MP4 remain
-# declared stubs (they genuinely need PIL/ffmpeg, absent here); with these
-# three the decode path itself — header parse, sample/pixel extraction,
-# featurization — is REAL code under test, not a hash placeholder.
+# uncompressed 24-bit BMP (round 4), non-interlaced 8-bit PNG (zlib +
+# struct: critical-chunk parse with CRC check, inflate, per-scanline
+# unfilter for all five filter types) and baseline JPEG (operators/jpeg.py,
+# both round 5). The MP4 CONTAINER parses too (probe_mp4); only video
+# frame decode remains a declared stub (genuinely needs a codec). The
+# decode path — header parse, sample/pixel extraction, featurization — is
+# REAL code under test, not a hash placeholder.
 # ---------------------------------------------------------------------------
 
 import struct as _struct
@@ -163,6 +164,8 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
         pos += 8 + size + (size % 2)
     if rate is None or not samples:
         raise ValueError("missing fmt/data chunk")
+    if rate <= 0:
+        raise ValueError("WAV declares a non-positive sample rate")
     return rate, samples
 
 
@@ -309,7 +312,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         target_w, target_h,
                         resize_pixels(px, w, hgt, target_w, target_h))
                     ok = True
-                except (ValueError, IndexError, _struct.error, _zlib.error):
+                except (ValueError, KeyError, IndexError, ZeroDivisionError,
+                        _struct.error, _zlib.error):
                     pass
                 rows["media_id"].append(mid)
                 rows["mime"].append("image/png" if ok else mime)
@@ -595,7 +599,8 @@ def probe_media_metadata(df: DataFrame) -> DataFrame:
                         dur, w, hgt, _ = probe_mp4(data)
                     else:
                         ok = False
-                except (ValueError, IndexError, _struct.error, _zlib.error):
+                except (ValueError, KeyError, IndexError, ZeroDivisionError,
+                        _struct.error, _zlib.error):
                     ok = False
                 rows["media_id"].append(mid); rows["kind"].append(kind)
                 rows["mime"].append(mime); rows["width"].append(w)
@@ -698,7 +703,8 @@ def extract_features_real(df: DataFrame, dim: int = 16) -> DataFrame:
                         feats.append(bmp_features(w, hgt, px, dim)); ok.append(True)
                     else:
                         feats.append([0.0] * dim); ok.append(False)
-                except (ValueError, IndexError, _struct.error, _zlib.error):
+                except (ValueError, KeyError, IndexError, ZeroDivisionError,
+                        _struct.error, _zlib.error):
                     feats.append([0.0] * dim); ok.append(False)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"], "kind": pdf["kind"],

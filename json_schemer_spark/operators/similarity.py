@@ -333,6 +333,10 @@ def neardup_pairs_exact_arrow(
     import numpy as np
 
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        # the JVM twin lazily returns an empty frame here; match it rather
+        # than let numpy raise AxisError on a 0-d matrix (review finding)
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)

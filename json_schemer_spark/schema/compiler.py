@@ -106,6 +106,13 @@ class CompiledSchema:
         JSON, which would break document-relative pointers."""
         ev = self._evaluator
         target, _resource = ev.registry.resolve_ref(value, ev.root_resource.uri)
+        # boolean subschemas have no object identity in the registry's
+        # _info map, so Evaluator(True, registry=shared) would re-register
+        # the parent's base URI as a boolean document and silently break
+        # every later $ref through the PARENT plan (review finding). A
+        # boolean schema has no refs to share anyway — give it its own
+        # evaluator context.
+        sub_registry = None if isinstance(target, bool) else ev.registry
         sub = object.__new__(CompiledSchema)
         sub.schema = target
         sub.assert_formats = self.assert_formats
@@ -118,7 +125,7 @@ class CompiledSchema:
         sub._factory_root = self._factory_root
         sub._sub_refs = self._sub_refs + [value]
         sub._evaluator = Evaluator(
-            target, registry=ev.registry,
+            target, registry=sub_registry,
             assert_formats=self.assert_formats,
             formats=self.formats, keywords=self.keywords,
             **self._ext_opts,
@@ -396,12 +403,15 @@ class CompiledSchema:
                 **ext_opts,
             )
             # ref()-subschema plan: replay the ref chain against the parent
-            # document's registry so back-pointers keep resolving
+            # document's registry so back-pointers keep resolving (boolean
+            # targets detach, mirroring ref() — see the registry-corruption
+            # note there)
             for rv in sub_refs:
                 target, resource = ev.registry.resolve_ref(
                     rv, ev.root_resource.uri)
                 ev = _Ev(
-                    target, registry=ev.registry,
+                    target,
+                    registry=None if isinstance(target, bool) else ev.registry,
                     assert_formats=assert_formats,
                     formats=formats, keywords=keywords, **ext_opts,
                 )

@@ -137,3 +137,26 @@ def test_ref_subschema_plans(spark):
     # the parent plan is unaffected
     assert plan.valid_value([{"name": "ok"}])
     assert not plan.valid_value([{"name": "x"}])
+
+
+def test_ref_boolean_subschema_does_not_corrupt_parent(spark):
+    """Review finding (r5): a boolean subschema has no registry identity,
+    so sharing the parent's registry re-registered the parent base URI as
+    a boolean document and broke every later parent $ref. Boolean targets
+    now detach; the parent plan keeps resolving."""
+    from json_schemer_spark import compile_schema
+
+    plan = compile_schema({
+        "definitions": {"flag": True, "never": False,
+                        "item": {"type": "object"}},
+        "items": {"$ref": "#/definitions/item"},
+    })
+    flag = plan.ref("#/definitions/flag")
+    never = plan.ref("#/definitions/never")
+    assert flag.valid_value(123) and not never.valid_value(123)
+    # the parent's $ref still resolves after building boolean subplans
+    assert plan.valid_value([{"a": 1}])
+    assert not plan.valid_value([3])
+    # the executor-side factory replay handles the boolean leg too
+    ev = never._evaluator_factory()()
+    assert not ev.validate({"x": 1})["valid"]

@@ -850,3 +850,82 @@ def test_repetition_features_hand_computed(spark):
         ).collect()
     }
     assert kept == {0: False, 1: True, 2: False, 3: True}
+
+
+def test_decoders_raise_only_valueerror_on_structural_corruption(spark):
+    """Review findings (r5): structurally corrupt payloads must degrade the
+    ROW, never kill the Spark task. decode_jpeg converts its internal
+    KeyError/StopIteration cases to ValueError (missing DHT, SOS naming an
+    unknown component, sequential multi-scan files), decode_wav rejects a
+    declared zero sample rate (was ZeroDivisionError downstream), and the
+    mapInPandas stages degrade all of them."""
+    import struct
+
+    import pytest as _pytest
+
+    from json_schemer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from json_schemer_spark.operators.multimodal import (
+        decode_wav,
+        extract_features_real,
+        probe_media_metadata,
+        synth_wav_bytes,
+    )
+
+    good = encode_jpeg(16, 16, [(1, 2, 3)] * 256)
+
+    def strip_seg(data, marker):
+        out, pos = bytearray(), 0
+        while pos < len(data) - 1:
+            if data[pos] == 0xFF and data[pos + 1] == marker:
+                (ln,) = struct.unpack_from(">H", data, pos + 2)
+                pos += 2 + ln
+            else:
+                out.append(data[pos]); pos += 1
+        return bytes(out + data[pos:])
+
+    no_dht = strip_seg(good, 0xC4)
+    bad_comp = bytearray(good)
+    bad_comp[bad_comp.index(b"\xff\xda") + 5] = 9
+    multi = bytearray(good)
+    s = multi.index(b"\xff\xda")
+    multi[s:s + 14] = b"\xff\xda" + struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, 0, 63, 0])
+    for bad in (no_dht, bytes(bad_comp), bytes(multi)):
+        with _pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+    wav0 = bytearray(synth_wav_bytes(1))
+    wav0[24:28] = struct.pack("<I", 0)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(wav0))
+
+    # end to end: one batch mixing every corrupt payload degrades per-row
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            payloads = [no_dht, bytes(bad_comp), bytes(multi), bytes(wav0)]
+            mimes = ["image/jpeg"] * 3 + ["audio/wav"]
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "kind": ["image"] * 3 + ["audio"],
+                "mime": mimes[:n], "width": [None] * n, "height": [None] * n,
+                "duration_ms": [None] * n, "data": payloads[:n]})
+
+    from json_schemer_spark.operators.multimodal import MEDIA_SCHEMA
+    media = spark.range(4).coalesce(1).mapInPandas(gen, MEDIA_SCHEMA)
+    feats = extract_features_real(media, dim=4).collect()
+    assert len(feats) == 4 and all(not r.decode_ok for r in feats)
+    probed = probe_media_metadata(media).collect()
+    assert len(probed) == 4 and all(not r.probe_ok for r in probed)
+
+
+def test_neardup_exact_arrow_empty_input(spark):
+    """Review finding (r5): an empty input table returns an empty pair
+    frame (like the JVM twin) instead of a numpy AxisError at plan time."""
+    from json_schemer_spark.operators.similarity import neardup_pairs_exact_arrow
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = neardup_pairs_exact_arrow(empty, 0.9)
+    assert out.columns == ["id_a", "id_b"] and out.count() == 0
