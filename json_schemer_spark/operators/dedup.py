@@ -612,18 +612,21 @@ def dup_clusters(
 
 def dedup_keep_representatives(
     df: DataFrame,
-    pairs: DataFrame,
-    id_col: str,
+    pairs: DataFrame = None,
+    id_col: str = None,
     a_col: str = "a",
     b_col: str = "b",
+    clusters: DataFrame = None,
 ) -> DataFrame:
     """Keep ONE row per near-duplicate cluster (the cluster head = smallest
     id) plus every row that appears in no pair — the end-to-end "dedup this
     corpus" operation over any candidate-pair source (exact, MinHash LSH,
-    SimHash, embedding near-dup). See :func:`neardup_dedup_lsh` for the
-    composed candidates→cluster→keep-one pipeline with ONE clustering
-    pass."""
-    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
+    SimHash, embedding near-dup). Pass ``clusters`` (a precomputed
+    ``dup_clusters`` result) to reuse an existing clustering pass —
+    :func:`neardup_dedup_lsh` composes this way so the keep-one rule lives
+    in exactly one place."""
+    if clusters is None:
+        clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
 
@@ -640,8 +643,9 @@ def neardup_dedup_lsh(
     """The composed SCALE-path dedup pipeline (round-4 review ask #3):
     SRP-LSH candidate pairs → exact cosine verify → connected-component
     clustering → keep one representative per cluster, in ONE clustering
-    pass (``dedup_keep_representatives`` over a separate ``dup_clusters``
-    call would cluster twice).
+    pass (the single ``dup_clusters`` result feeds both the keep-one rule
+    — via ``dedup_keep_representatives(clusters=...)`` — and the
+    cluster-size annotation).
 
     Returns the kept rows of ``df`` (cluster heads = smallest id, plus all
     singletons) with an appended ``cluster_size`` column (1 for
@@ -663,8 +667,7 @@ def neardup_dedup_lsh(
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    non_heads = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
-    kept = df.join(non_heads, df[id_col] == non_heads["id"], "left_anti")
+    kept = dedup_keep_representatives(df, id_col=id_col, clusters=clusters)
     heads = sizes.withColumnRenamed("cluster_id", "__head")
     return (
         kept.join(heads, kept[id_col] == heads["__head"], "left")

@@ -391,15 +391,21 @@ def decode_png(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         (size,) = _struct.unpack(">I", data[pos: pos + 4])
         typ = data[pos + 4: pos + 8]
         body = data[pos + 8: pos + 8 + size]
-        if len(body) != size:
+        if len(body) != size or pos + 12 + size > len(data):
             raise ValueError("truncated PNG chunk")
         (crc,) = _struct.unpack(">I", data[pos + 8 + size: pos + 12 + size])
         if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("truncated PNG IHDR")
             width, height, depth, ctype, comp, filt, ilace = _struct.unpack(
                 ">IIBBBBB", body
             )
+            if width * height > 64_000_000:
+                # decode is pure Python; an adversarial giant raster would
+                # stall the task long before memory became the issue
+                raise ValueError("PNG dimensions exceed decode budget")
             if depth != 8 or ilace != 0 or comp != 0 or filt != 0:
                 raise ValueError(
                     f"unsupported PNG ({depth=}, interlace={ilace})"
@@ -414,9 +420,17 @@ def decode_png(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         pos += 12 + size
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    raw = _zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate (review finding): a ~50KB zip-bomb PNG declaring a
+    # huge raster must not allocate gigabytes before the length check —
+    # cap decompression at the raster size IHDR promises, then verify the
+    # stream ends exactly there
+    d = _zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail or d.decompress(b"", 1):
+        raise ValueError("PNG pixel data has wrong length")
+    if len(raw) != expected:
         raise ValueError("PNG pixel data has wrong length")
     px: list[tuple[int, int, int]] = []
     prev = bytearray(stride)

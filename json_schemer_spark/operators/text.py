@@ -91,9 +91,12 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, table A1 — the
     standard pre-training repetition filters): adds
 
-    - ``dup_line_frac``  — fraction of non-blank lines that are exact
-      duplicates of another line in the same document,
-    - ``dup_word_frac``  — fraction of tokens that repeat an earlier token,
+    - ``dup_line_frac``  — EXTRA-occurrence fraction of non-blank lines,
+      ``(n_lines - n_distinct_lines) / n_lines`` (the common Gopher
+      reimplementation convention: 'x\\nx' scores 0.5, not 1.0 — each
+      repeated line charges its repeats, not its first occurrence),
+    - ``dup_word_frac``  — same extra-occurrence convention over tokens,
+      ``(n_tokens - n_distinct_tokens) / n_tokens``,
     - ``top_bigram_frac`` — occurrence share of the most frequent word
       bigram (reported as a count fraction, so there is no mode tie-break
       nondeterminism).
@@ -119,14 +122,25 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
         ),
     )
     g2 = F.col("__g2")
-    top = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(g2),
-                lambda x: F.size(F.filter(g2, lambda y: y == x)),
-            )
-        ),
-        F.lit(0),
+    # max bigram count = longest equal-neighbour run in the SORTED bigram
+    # array: O(n log n) + one O(n) aggregate. (Review finding: the first
+    # version filtered the full array once per DISTINCT bigram — O(n·d)
+    # interpreted string comparisons per document, ~20M for a 5k-token web
+    # page.) The empty-string initial ``prev`` can never match a real
+    # bigram (every bigram contains a space).
+    def _run(acc, x):
+        cur = F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), cur.alias("cur"),
+            F.greatest(acc.best, cur).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(g2),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("cur"),
+                 F.lit(0).alias("best")),
+        _run,
+        lambda acc: acc.best,
     )
     out = df.withColumns(
         {

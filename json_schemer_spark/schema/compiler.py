@@ -280,6 +280,17 @@ class CompiledSchema:
                     self._prepared = None
         return self._prepared
 
+    def _route_probe(self):
+        """Memoized ``columnar.build_route_probe`` over the memoized
+        prepared tree (pure function of it — review finding: it used to
+        re-walk the whole unrolled tree on every validate call)."""
+        if getattr(self, "_probe", _UNSET) is _UNSET:
+            from json_schemer_spark.schema.columnar import build_route_probe
+
+            self._probe = build_route_probe(
+                self._prepared_schema(), self._lowering_dialect())
+        return self._probe
+
     _STD_VOCABS = frozenset({
         "core", "applicator", "unevaluated", "validation",
         "meta-data", "format-annotation", "content",
@@ -322,7 +333,10 @@ class CompiledSchema:
             )
 
             try:
-                probe = build_route_probe(prepared, self._lowering_dialect())
+                # memoized: the probe is a pure function of the memoized
+                # prepared tree, and build_route_probe walks the whole
+                # unrolled tree — no reason to re-walk per call
+                probe = self._route_probe()
                 if probe is None:
                     return validate_json_column_lowered(
                         df, content_col, prepared, self._lowering_dialect(),
@@ -348,7 +362,12 @@ class CompiledSchema:
                 # cheapest second pass available.
                 import pyspark.sql.functions as F
 
+                # collision-proof working column (review finding: a user
+                # column literally named __jss_route__ used to be
+                # overwritten and dropped)
                 rcol = "__jss_route__"
+                while rcol in df.columns:
+                    rcol += "_"
                 routed = df.withColumn(rcol, probe(F.col(content_col)))
                 fast = validate_json_column_lowered(
                     routed.filter(~F.col(rcol)).drop(rcol), content_col,

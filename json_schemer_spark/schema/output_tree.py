@@ -63,24 +63,60 @@ def _floc(ipath: str) -> str:
     return "root" if not ipath else f"`{ipath}`"
 
 
-def _rb(v: Any) -> str:
+def _rb_float(f: float) -> str:
+    """Ruby ``Float#to_s``: same fixed/exponent thresholds as Python repr
+    (1e16 / 1e-5), but the mantissa always carries a decimal point
+    (``1.0e+16``, not ``1e+16``)."""
+    s = repr(f)
+    if "e" in s:
+        mant, exp = s.split("e")
+        if "." not in mant:
+            mant += ".0"
+        return mant + "e" + exp
+    if "." not in s and "inf" not in s and "nan" not in s:
+        s += ".0"
+    return s
+
+
+def _rb_str(s: str) -> str:
+    """Ruby ``String#inspect`` for list members: double-quoted, literal
+    UTF-8 kept (unlike json.dumps' \\uXXXX), controls escaped."""
+    out = ['"']
+    esc = {'"': '\\"', "\\": "\\\\", "\n": "\\n", "\t": "\\t", "\r": "\\r"}
+    for ch in s:
+        if ch in esc:
+            out.append(esc[ch])
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def _rb(v: Any, nested: bool = False) -> str:
     """Ruby ``#{value}`` interpolation parity for keyword values in error
-    messages: bare strings, true/false/"" for booleans/nil, inspect-style
-    lists (json.dumps matches Ruby Array#to_s for JSON scalars)."""
+    messages: bare strings / "" for nil at top level, ``Array#to_s``
+    member inspection inside lists (``nil``, literal UTF-8 strings,
+    ``1.0e+16``-style floats — review finding: json.dumps diverged on all
+    three). Hashes fall back to json.dumps (no hash-valued keywords reach
+    unit messages)."""
     import json as _json
 
     if v is None:
-        return ""
+        return "nil" if nested else ""
     if v is True:
         return "true"
     if v is False:
         return "false"
     if isinstance(v, str):
-        return v
+        return _rb_str(v) if nested else v
     if isinstance(v, float):
-        return repr(v)
+        return _rb_float(v)
     if isinstance(v, int):
         return str(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(_rb(x, nested=True) for x in v) + "]"
     return _json.dumps(v)
 
 
