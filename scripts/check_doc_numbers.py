@@ -19,6 +19,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -35,17 +36,69 @@ def _load(path: str) -> dict:
         return json.load(f)
 
 
+def _last_update(path: str) -> float:
+    """When `path` last changed: its newest git commit time, or the file
+    mtime if the working-tree copy differs from HEAD (uncommitted/untracked).
+    Used to detect the end-of-round race where the driver drops a fresh
+    BENCH_r{N}.json AFTER the builder's last commit — by construction no
+    commit can have updated BENCH.md for it yet."""
+    rel = os.path.relpath(path, REPO)
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", rel],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        committed = float(out) if out else 0.0
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "--", rel],
+                cwd=REPO, capture_output=True, text=True, timeout=30,
+            ).stdout.strip()
+        )
+    except Exception:
+        committed, dirty = 0.0, True
+    if dirty or not committed:
+        try:
+            return max(committed, os.path.getmtime(path))
+        except OSError:
+            return committed
+    return committed
+
+
+def _artifact_is_pending(artifact_path: str) -> bool:
+    """True if the artifact landed after BENCH.md was last updated, i.e. no
+    builder commit can possibly quote it yet. Pending artifacts downgrade
+    their drift findings to warnings (round-5 verdict ask #1b: the gate
+    guaranteed one red test per round because the driver's artifact drop
+    postdates the last commit every round, by construction)."""
+    bench_md = os.path.join(REPO, "BENCH.md")
+    return _last_update(artifact_path) > _last_update(bench_md)
+
+
 def check() -> list[str]:
+    problems, warnings = check_full()
+    for w in warnings:
+        print(f"PENDING: {w}")
+    return problems
+
+
+def check_full() -> tuple[list[str], list[str]]:
+    """Returns (problems, pending_warnings). A finding against an artifact
+    newer than BENCH.md's last update is a warning — run
+    ``check_doc_numbers.py --write`` to sync and it becomes enforced."""
     problems: list[str] = []
+    warnings: list[str] = []
     bench_md = open(os.path.join(REPO, "BENCH.md")).read()
     coverage_md = open(os.path.join(REPO, "COVERAGE.md")).read()
+    _sink: list[str] = problems
 
     def expect(doc: str, doc_name: str, token: str, what: str) -> None:
         if token not in doc:
-            problems.append(f"{doc_name}: missing {what} — expected literal {token!r}")
+            _sink.append(f"{doc_name}: missing {what} — expected literal {token!r}")
 
     scaling_path = _newest("SCALING_r*.json")
     if scaling_path:
+        _sink = warnings if _artifact_is_pending(scaling_path) else problems
         s = _load(scaling_path)
         expect(bench_md, "BENCH.md", f"{s['scaling_efficiency']}", "scaling efficiency")
         expect(bench_md, "BENCH.md", f"{s['rows']:,}".replace(",", " "), "scaling row count")
@@ -63,6 +116,7 @@ def check() -> list[str]:
 
     local_path = _newest("BENCH_local_r*.json")
     if local_path:
+        _sink = warnings if _artifact_is_pending(local_path) else problems
         b = _load(local_path)
         best_k = round(b["best_value"] / 1000)
         expect(bench_md, "BENCH.md", f"{best_k} k rows/s", "local best headline")
@@ -71,6 +125,7 @@ def check() -> list[str]:
 
     driver_path = _newest("BENCH_r[0-9]*.json")
     if driver_path:
+        _sink = warnings if _artifact_is_pending(driver_path) else problems
         d = _load(driver_path)
         d = d.get("parsed", d)  # driver wraps the bench line in {"parsed": ...}
         expect(
@@ -79,6 +134,7 @@ def check() -> list[str]:
             f"driver-recorded headline ({os.path.basename(driver_path)})",
         )
 
+    _sink = problems  # COVERAGE.md counts are builder-controlled: always strict
     import __spark_entry__ as entry
 
     n_q = len(entry.queries())
@@ -88,7 +144,7 @@ def check() -> list[str]:
     n_golden = len(glob.glob(os.path.join(REPO, "fixtures", "golden", "*.json")))
     if n_golden:
         expect(coverage_md, "COVERAGE.md", f"{n_golden} golden-fixture", "golden count")
-    return problems
+    return problems, warnings
 
 
 def _gate_lines() -> dict[str, str]:

@@ -3,8 +3,69 @@
 prevents)."""
 
 
+import os
+
+
 def test_doc_numbers_match_artifacts():
     from scripts.check_doc_numbers import check
 
     problems = check()
     assert not problems, "\n".join(problems)
+
+
+def test_pending_driver_artifact_warns_not_fails(monkeypatch):
+    """Round-5 verdict ask #1b: a driver artifact that lands AFTER the
+    builder's last commit (every round, by construction) must downgrade its
+    drift findings to warnings — the end-of-round artifact drop can never
+    redden a finished round. The same mismatch on an artifact BENCH.md had
+    a chance to quote stays a hard failure."""
+    import scripts.check_doc_numbers as cdn
+
+    real_load = cdn._load
+
+    def fake_load(path):
+        d = real_load(path)
+        name = os.path.basename(path)
+        if name.startswith("BENCH_r") and not name.startswith("BENCH_local"):
+            d = dict(d)
+            parsed = dict(d.get("parsed", d))
+            parsed["value"] = 999_999_000.0  # headline BENCH.md cannot quote
+            d["parsed"] = parsed
+        return d
+
+    monkeypatch.setattr(cdn, "_load", fake_load)
+
+    # Simulate: the artifact postdates BENCH.md's last update → pending.
+    monkeypatch.setattr(cdn, "_artifact_is_pending", lambda p: True)
+    problems, warnings = cdn.check_full()
+    assert not problems, "\n".join(problems)
+    assert any("999999 k rows/s" in w for w in warnings)
+
+    # Same mismatch, artifact older than BENCH.md → enforced failure.
+    monkeypatch.setattr(cdn, "_artifact_is_pending", lambda p: False)
+    problems, warnings = cdn.check_full()
+    assert any("999999 k rows/s" in p for p in problems)
+    assert not warnings
+
+
+def test_artifact_pending_detection_uses_git_times():
+    """_last_update: committed+clean files use the commit time; a file
+    touched after its last commit (or untracked) uses mtime. So the real
+    r5 race (BENCH_r05.json committed after BENCH.md's last commit) is
+    detected from git history alone."""
+    import scripts.check_doc_numbers as cdn
+
+    bench_md = os.path.join(cdn.REPO, "BENCH.md")
+    t = cdn._last_update(bench_md)
+    assert t > 0
+    # An untracked file falls back to mtime.
+    tmp = os.path.join(cdn.REPO, ".pending_probe_tmp")
+    with open(tmp, "w") as f:
+        f.write("x")
+    try:
+        assert cdn._last_update(tmp) >= os.path.getmtime(tmp) - 1
+        assert cdn._artifact_is_pending(tmp) == (
+            cdn._last_update(tmp) > cdn._last_update(bench_md)
+        )
+    finally:
+        os.remove(tmp)
