@@ -61,7 +61,9 @@ def ensure_corpus(spark, n_rows: int, path: str):
     return spark.read.parquet(path)
 
 
-def bench_corpus_validation(spark, corpus, warmups: int = 3, repeats: int = 3) -> tuple[float, int]:
+def bench_corpus_validation(
+    spark, corpus, warmups: int = 3, repeats: int = 3
+) -> tuple[float, int, list[float], list[float]]:
     """The north metric: flagship-schema validation, columnar tier.
 
     THREE identical-job warmups, then best-of-N. The generated whole-stage
@@ -90,9 +92,13 @@ def bench_corpus_validation(spark, corpus, warmups: int = 3, repeats: int = 3) -
         ).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    for _ in range(warmups):  # C2-compile the generated code (see docstring)
-        run_once()
-    return min(run_once() for _ in range(repeats)), n
+    warmup_times = [round(run_once(), 3) for _ in range(warmups)]  # C2-compile (see docstring)
+    runs = [round(run_once(), 3) for _ in range(repeats)]
+    # Round-5 verdict "What's wrong #2": the headline was the ONLY entry
+    # without a recorded spread, so the r5 driver artifact's 694k -> 487k
+    # lockstep inflation could not prove itself ambient. Record the
+    # measured runs AND the warmup curve so the artifact self-diagnoses.
+    return min(runs), n, [min(runs), max(runs)], warmup_times
 
 
 def bench_tier_penalty(spark, warmups: int = 3, repeats: int = 3) -> dict:
@@ -143,7 +149,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     corpus = ensure_corpus(spark, CORPUS_ROWS, CORPUS_PATH)
-    val_sec, n_rows = bench_corpus_validation(spark, corpus)
+    val_sec, n_rows, val_spread, val_warmups = bench_corpus_validation(spark, corpus)
     files_per_sec = n_rows / val_sec
 
     headline = [
@@ -164,6 +170,11 @@ def main() -> None:
         "q38_neardup_dedup_lsh",
         "q39_recursive_validate",
         "q40_repetition_filter",
+        # round-5 verdict ask #7: one media-pipeline query in the headline
+        # set so a JPEG/PNG edge-case fix that 2x's a decoder is visible
+        # round-over-round. q42 exercises the longest chain
+        # (decode -> box resample -> PNG re-encode).
+        "q42_media_resize",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
@@ -171,7 +182,7 @@ def main() -> None:
     # sub-second fixed-overhead queries drift ±25% under shared-host ambient
     # load; the artifact now carries its own variance evidence so a
     # driver-vs-local delta is self-diagnosing.
-    spread: dict[str, list[float]] = {}
+    spread: dict[str, list[float]] = {"corpus_validation": val_spread}
     per_query_repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
     for name in headline:
         runs = []
@@ -192,6 +203,7 @@ def main() -> None:
         "cpus": CPUS,
         "corpus_rows": n_rows,
         "corpus_validation_sec": round(val_sec, 3),
+        "corpus_validation_warmups": val_warmups,
         "tier_penalty": bench_tier_penalty(spark),
     }
     print(json.dumps(result))
