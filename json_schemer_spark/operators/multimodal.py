@@ -432,6 +432,13 @@ def decode_png(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError("PNG pixel data has wrong length")
     if len(raw) != expected:
         raise ValueError("PNG pixel data has wrong length")
+    # unconsumed_tail only covers input the zlib stream hasn't digested;
+    # bytes trailing a COMPLETE stream land in unused_data instead, so a
+    # garbage-suffixed IDAT would otherwise pass (round-5 ADVICE). Require
+    # the stream to have actually ended, too — same promised length with
+    # the deflate stream still open means a truncated declaration.
+    if d.unused_data or not d.eof:
+        raise ValueError("PNG pixel data has wrong length")
     px: list[tuple[int, int, int]] = []
     prev = bytearray(stride)
     for y in range(height):

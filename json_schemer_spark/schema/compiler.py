@@ -106,13 +106,19 @@ class CompiledSchema:
         JSON, which would break document-relative pointers."""
         ev = self._evaluator
         target, _resource = ev.registry.resolve_ref(value, ev.root_resource.uri)
-        # boolean subschemas have no object identity in the registry's
-        # _info map, so Evaluator(True, registry=shared) would re-register
-        # the parent's base URI as a boolean document and silently break
-        # every later $ref through the PARENT plan (review finding). A
-        # boolean schema has no refs to share anyway — give it its own
-        # evaluator context.
-        sub_registry = None if isinstance(target, bool) else ev.registry
+        # Share the parent registry ONLY for targets it already knows
+        # (registered schema nodes). Anything else — boolean subschemas
+        # (no object identity in the _info map) and dict values in
+        # non-schema positions (a pointer into enum/const/default data, an
+        # unknown-keyword value) — would make Evaluator.__init__ call
+        # add_document on the SHARED registry, overwriting the parent's
+        # resource URI so later $ref resolution through the parent plan
+        # silently resolves into the subschema document (review finding for
+        # booleans; round-5 ADVICE generalized it to any unregistered
+        # target). Detached targets still inherit the parent's resolved
+        # dialect, matching Schema#ref's meta_schema inheritance
+        # (reference schema.rb:128-130).
+        sub_registry = ev.registry if ev.registry.info(target) is not None else None
         sub = object.__new__(CompiledSchema)
         sub.schema = target
         sub.assert_formats = self.assert_formats
@@ -126,6 +132,7 @@ class CompiledSchema:
         sub._sub_refs = self._sub_refs + [value]
         sub._evaluator = Evaluator(
             target, registry=sub_registry,
+            dialect=ev.root_resource.dialect,
             assert_formats=self.assert_formats,
             formats=self.formats, keywords=self.keywords,
             **self._ext_opts,
@@ -321,7 +328,18 @@ class CompiledSchema:
         written after validation cannot push down — the validator's outputs
         sit behind a deliberate non-deterministic pushdown barrier (see
         columnar.validate_json_column_lowered) because pushing them re-parses
-        the document once per referenced alias (measured 15×)."""
+        the document once per referenced alias (measured 15×).
+
+        DETERMINISTIC-SOURCE REQUIREMENT (cyclic-$ref schemas only): when
+        the schema routes per-row between tiers (hybrid split), ``df`` is
+        evaluated twice as two filtered branches of one plan. A
+        non-deterministic source — ``rand()``-derived columns, a
+        non-deterministic UDF/mapInPandas, a re-read table mutated between
+        scans — can satisfy the route probe differently per scan and be
+        duplicated in or dropped from the union. ``persist()`` or
+        ``localCheckpoint()`` such inputs first (or pass
+        ``force_interpreter=True``). Non-cyclic schemas evaluate the source
+        exactly once and are unaffected."""
         if prefilter is not None:
             df = df.filter(prefilter)
         prepared = None if force_interpreter else self._prepared_schema()
@@ -422,15 +440,17 @@ class CompiledSchema:
                 **ext_opts,
             )
             # ref()-subschema plan: replay the ref chain against the parent
-            # document's registry so back-pointers keep resolving (boolean
-            # targets detach, mirroring ref() — see the registry-corruption
-            # note there)
+            # document's registry so back-pointers keep resolving
+            # (unregistered targets — booleans, refs into non-schema data —
+            # detach with the parent's resolved dialect, mirroring ref();
+            # see the registry-corruption note there)
             for rv in sub_refs:
                 target, resource = ev.registry.resolve_ref(
                     rv, ev.root_resource.uri)
                 ev = _Ev(
                     target,
-                    registry=None if isinstance(target, bool) else ev.registry,
+                    registry=ev.registry if ev.registry.info(target) is not None else None,
+                    dialect=ev.root_resource.dialect,
                     assert_formats=assert_formats,
                     formats=formats, keywords=keywords, **ext_opts,
                 )

@@ -160,3 +160,53 @@ def test_ref_boolean_subschema_does_not_corrupt_parent(spark):
     # the executor-side factory replay handles the boolean leg too
     ev = never._evaluator_factory()()
     assert not ev.validate({"x": 1})["valid"]
+
+
+def test_ref_into_non_schema_data_does_not_corrupt_parent():
+    """Round-5 ADVICE: a dict target that is NOT a registered schema node
+    (a pointer into enum/const/default data or an unknown-keyword value)
+    hits the same shared-registry corruption the boolean case did —
+    Evaluator.__init__ finds no registry info and add_document()s over the
+    parent's resource URI. Any unregistered target now detaches."""
+    from json_schemer_spark import compile_schema
+
+    plan = compile_schema({
+        "definitions": {"item": {"type": "object"}},
+        "properties": {
+            "mode": {"enum": [{"const": "a"}, {"const": "b"}]},
+            "child": {"$ref": "#/definitions/item"},
+        },
+    })
+    # target is DATA (an enum member), not a schema node
+    sub = plan.ref("#/properties/mode/enum/0")
+    assert sub._evaluator.registry is not plan._evaluator.registry
+    # the detached plan treats the dict {"const": "a"} as its own document
+    assert sub.valid_value("a") and not sub.valid_value("b")
+    # the parent plan's own $ref resolution must be untouched
+    assert plan.valid_value({"child": {}})
+    assert not plan.valid_value({"child": 3})
+    # factory replay mirrors the detach
+    ev = sub._evaluator_factory()()
+    assert ev.validate("a")["valid"] and not ev.validate("b")["valid"]
+
+
+def test_ref_subschema_inherits_parent_dialect():
+    """Round-5 ADVICE: a detached (boolean / unregistered) subschema under
+    a parent compiled with an explicit non-default dialect must report the
+    PARENT's dialect, matching Schema#ref which inherits the parent
+    meta_schema — not silently reset to 2020-12."""
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.schema.dialects import DIALECTS_BY_NAME
+
+    draft7 = DIALECTS_BY_NAME["draft7"]
+    plan = compile_schema(
+        {"definitions": {"flag": True, "item": {"type": "object"}},
+         "items": {"$ref": "#/definitions/flag"}},
+        dialect=draft7,
+    )
+    flag = plan.ref("#/definitions/flag")
+    assert flag.dialect.name == "draft7"
+    # registered dict targets already carried the right dialect via the
+    # shared registry — unchanged
+    item = plan.ref("#/definitions/item")
+    assert item.dialect.name == "draft7"

@@ -546,6 +546,24 @@ def test_real_wav_bmp_decode_roundtrip(spark):
                    good[:50] + bytes([good[50] ^ 0xFF]) + good[51:]]:
         with _pytest.raises(ValueError):
             decode_png(mutant)
+    # round-5 ADVICE: garbage AFTER a complete zlib stream inside IDAT
+    # lands in decompressobj.unused_data (not unconsumed_tail) and used to
+    # be silently accepted — strict per-row degradation must reject it
+    import struct as _struct
+    import zlib as _zlib
+    pos, trailing = 8, good[:8]
+    while pos < len(good):
+        (size,) = _struct.unpack_from(">I", good, pos)
+        typ = good[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            body = good[pos + 8:pos + 8 + size] + b"GARBAGE!"
+            trailing += (_struct.pack(">I", len(body)) + typ + body
+                         + _struct.pack(">I", _zlib.crc32(typ + body) & 0xFFFFFFFF))
+        else:
+            trailing += good[pos:pos + 12 + size]
+        pos += 12 + size
+    with _pytest.raises(ValueError):
+        decode_png(trailing)
 
     media = synth_media_real(spark, 21)
     out = {r.media_id: r for r in extract_features_real(media, dim=8).collect()}
