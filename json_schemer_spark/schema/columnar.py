@@ -160,6 +160,41 @@ def _resolve_pointer(doc: Any, pointer: str) -> Any:
     return node
 
 
+# Keywords the interpreter gates on the "validation" vocabulary (the exact
+# ``v_on`` set in interpreter.py — note min/maxContains are NOT gated there,
+# matching reference draft202012/vocab.rb's contains placement under
+# applicator evaluation). When a resource's $vocabulary disables validation
+# (suite vocabulary.json via metaschema-no-validation), these keywords are
+# annotations; inline_refs strips them per-resource so the lowering below
+# never needs to consult vocab state.
+_VALIDATION_VOCAB_KWS = frozenset({
+    "type", "enum", "const", "multipleOf", "maximum", "minimum",
+    "exclusiveMaximum", "exclusiveMinimum", "maxLength", "minLength",
+    "pattern", "maxItems", "minItems", "uniqueItems", "maxProperties",
+    "minProperties", "required", "dependentRequired",
+})
+
+
+def _vocab_compatible(nd: Dialect, d: Dialect) -> bool:
+    """Can a resource under dialect ``nd`` inline into a plan lowered under
+    ``d``? Yes iff they are the same draft in every behavioral respect
+    except $vocabulary-derived keyword gating (enabled_vocabs), which the
+    inline walk compensates for by stripping validation keywords
+    per-resource. format-assertion divergence is NOT compensable (the
+    assert/annotate decision is made once for the whole plan in _check)."""
+    if nd is d or nd == d:
+        return True
+    import dataclasses
+
+    if dataclasses.replace(nd, enabled_vocabs=None) != dataclasses.replace(
+        d, enabled_vocabs=None
+    ):
+        return False
+    return nd.vocab_enabled("format-assertion") == d.vocab_enabled(
+        "format-assertion"
+    )
+
+
 def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
     """Inline ``$ref`` targets at compile time; cyclic refs unroll to a
     bounded depth with per-row routing markers (round 5).
@@ -287,7 +322,20 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                     break
         return target
 
-    def walk(node: Any, stack: tuple, idepth: int, dscope: tuple) -> Any:
+    # Mid-walk size budget (round-5 ADVICE): the 48-frame stack cap bounds
+    # DEPTH but not BREADTH — ~24 mutually-referencing defs each inlined
+    # from two instance-edge positions stay under the stack cap while the
+    # materialized tree expands toward 2^24 nodes, stalling/OOMing the
+    # driver before the post-materialization _cost backstop ever runs.
+    # Count walked schema nodes and bail mid-walk well past any schema the
+    # 4000-unit _cost cap could accept (each node contributes ≥0 cost
+    # units, so 50× the cost cap is unreachable by a lowerable schema)
+    # but ~0.3% of the adversarial blowup.
+    nodes_walked = 0
+    node_budget = 50 * _COST_LIMIT
+
+    def walk(node: Any, stack: tuple, idepth: int, dscope: tuple,
+             rdialect: Dialect) -> Any:
         """Walk SCHEMA positions only — enum/const/default members and
         unknown-keyword values are data, never rewritten (a `$ref` key
         inside an enum member is a literal, suite draft4 enum.json trap).
@@ -296,19 +344,38 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
         along this path; ``idepth`` counts instance-consuming applicator
         edges crossed since the root (the cycle-progress measure);
         ``dscope`` is the static dynamic scope (tuple of resources entered,
-        interpreter push rule)."""
+        interpreter push rule); ``rdialect`` is the dialect of the node's
+        owning RESOURCE — same draft as ``dialect`` (enforced below) but
+        possibly with a $vocabulary-restricted keyword set (suite
+        vocabulary.json custom metaschemas, reference
+        draft202012/vocab/core.rb:17-33 vocabulary selection)."""
         if not isinstance(node, dict):
             return node
+        nonlocal nodes_walked
+        nodes_walked += 1
+        if nodes_walked > node_budget:
+            raise Unsupported("inlined $ref tree too large (node budget)")
         if node is not schema and any(k in node for k in rebinding):
             # base-URI rebinding without a registry → general resolver only
             raise Unsupported("nested $id/$anchor rebinding")
         if registry is not None:
             ninfo = registry.info(node)
             if ninfo is not None:
-                if isinstance(node.get("$schema"), str) and ninfo.dialect is not dialect:
-                    # a nested resource under a DIFFERENT draft cannot
-                    # inline — the lowering runs under one dialect
-                    raise Unsupported("cross-dialect $schema in inlined resource")
+                if ninfo.dialect is not dialect:
+                    if _vocab_compatible(ninfo.dialect, dialect):
+                        # same draft, $vocabulary-restricted keyword set
+                        # (suite vocabulary.json custom metaschemas):
+                        # rdialect carries the restriction, the emit loop
+                        # strips gated keywords per-resource.
+                        rdialect = ninfo.dialect
+                    elif isinstance(node.get("$schema"), str):
+                        # a resource under a genuinely DIFFERENT draft
+                        # cannot inline — the lowering runs under one
+                        # draft's keyword semantics
+                        raise Unsupported(
+                            "cross-dialect $schema in inlined resource")
+                    # no explicit $schema: the node rides the walk dialect
+                    # (pre-round-6 behavior for default-dialect remotes)
                 if not dscope or ninfo.resource is not dscope[-1]:
                     dscope = dscope + (ninfo.resource,)
         # dynamic refs resolve through the STATIC scope and then inline like
@@ -329,7 +396,8 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                     dyn_targets.append(ROUTE_MARKER)
                 else:
                     dyn_targets.append(
-                        walk(raw, stack + ((tkey, idepth),), idepth, dscope)
+                        walk(raw, stack + ((tkey, idepth),), idepth, dscope,
+                             rdialect)
                     )
                 node = {k: v for k, v in node.items() if k != dkw}
 
@@ -348,7 +416,8 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             if len(visits) >= _UNROLL_BUDGET:
                 target = ROUTE_MARKER
             else:
-                target = walk(raw_target, stack + ((tkey, idepth),), idepth, dscope)
+                target = walk(raw_target, stack + ((tkey, idepth),), idepth,
+                              dscope, rdialect)
             siblings = {k: v for k, v in node.items() if k != "$ref"}
             if not dyn_targets and (dialect.exclusive_ref or not any(
                 k for k in siblings if k not in ("$defs", "definitions")
@@ -358,8 +427,15 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
             # into allOf — unevaluated* must still see the target's
             # annotations as adjacent (suite: "unevaluatedItems with $ref")
             node = siblings
+        # $vocabulary-restricted resource: validation-vocabulary keywords
+        # are annotations there (interpreter's v_on gate) — drop them here
+        # so the lowering below never consults per-node vocab state. None
+        # of the gated keywords is a schema position, so skipping is safe.
+        strip_validation = not rdialect.vocab_enabled("validation")
         out = {}
         for kw, val in node.items():
+            if strip_validation and kw in _VALIDATION_VOCAB_KWS:
+                continue
             shape = KEYWORD_SHAPES.get(kw)
             kid = idepth + 1 if kw in _INSTANCE_EDGE_KWS else idepth
             if shape is None:
@@ -370,22 +446,22 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                 # (and rejecting cycles in UNUSED definitions) is pointless
                 out[kw] = val
             elif shape == SCHEMA_VALUE:
-                out[kw] = walk(val, stack, kid, dscope)
+                out[kw] = walk(val, stack, kid, dscope, rdialect)
             elif shape == SCHEMA_LIST:
-                out[kw] = [walk(s, stack, kid, dscope) for s in val] if isinstance(val, list) else val
+                out[kw] = [walk(s, stack, kid, dscope, rdialect) for s in val] if isinstance(val, list) else val
             elif shape == SCHEMA_MAP:
                 out[kw] = (
-                    {k: walk(s, stack, kid, dscope) for k, s in val.items()}
+                    {k: walk(s, stack, kid, dscope, rdialect) for k, s in val.items()}
                     if isinstance(val, dict) else val
                 )
             elif shape == SCHEMA_OR_LIST:
                 out[kw] = (
-                    [walk(s, stack, kid, dscope) for s in val] if isinstance(val, list)
-                    else walk(val, stack, kid, dscope)
+                    [walk(s, stack, kid, dscope, rdialect) for s in val] if isinstance(val, list)
+                    else walk(val, stack, kid, dscope, rdialect)
                 )
             elif shape == DEPENDENCIES:
                 out[kw] = (
-                    {k: (s if isinstance(s, list) else walk(s, stack, kid, dscope))
+                    {k: (s if isinstance(s, list) else walk(s, stack, kid, dscope, rdialect))
                      for k, s in val.items()}
                     if isinstance(val, dict) else val
                 )
@@ -399,7 +475,7 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
         rinfo = registry.info(schema)
         if rinfo is not None:
             root_scope = (rinfo.resource,)
-    return walk(schema, (), 0, root_scope)
+    return walk(schema, (), 0, root_scope, dialect)
 
 
 # ---------------------------------------------------------------------------
@@ -500,8 +576,10 @@ def _check(schema: Any, dialect: Dialect) -> None:
         return
     if not isinstance(schema, dict):
         raise Unsupported("non-dict schema")
-    if not dialect.vocab_enabled("validation") or not dialect.vocab_enabled("applicator"):
-        raise Unsupported("custom vocabulary gating")
+    # $vocabulary-gated keywords never reach here: inline_refs strips
+    # validation-vocabulary keywords per-resource during the walk (round 6),
+    # and the interpreter treats the applicator vocabulary as always-on, so
+    # lowering applicator keywords unconditionally matches it.
     if dialect.openapi and isinstance(schema.get("discriminator"), dict):
         raise Unsupported("OpenAPI discriminator")
     fmt_assert = (
