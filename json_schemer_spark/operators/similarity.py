@@ -19,6 +19,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+# Refusal threshold for the DECLARED driver-collect baselines below
+# (neardup_pairs_exact_arrow collects the whole table; brute_force_topk_arrow
+# collects the query side). They exist so the exact ORACLE is cheap to run
+# routinely — at corpus scale the driver is the bottleneck BY DESIGN, so
+# rather than quietly OOM a 100-TB job they refuse and point at the bucketed
+# paths. Raise per-call via ``row_cap=`` when a bigger baseline is really
+# wanted. 1M rows × 64-dim float64 ≈ 0.5 GB driver-resident — the sane edge.
+EXACT_BASELINE_ROW_CAP = 1_000_000
+
+
+def _guard_exact_baseline(df: DataFrame, row_cap, fn: str, alt: str) -> None:
+    cap = EXACT_BASELINE_ROW_CAP if row_cap is None else row_cap
+    # limit(cap+1) stops the scan early — the guard never pays a full count
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{fn} collects rows to the driver by its exact-baseline "
+            f"contract and refuses above {cap} rows; use {alt} at scale, "
+            f"or pass row_cap= to raise the limit explicitly"
+        )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
@@ -306,6 +327,7 @@ def neardup_pairs_exact_arrow(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    row_cap: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs — the Arrow/numpy twin of
     :func:`neardup_pairs_exact` (same contract: (id_a, id_b), id_a < id_b,
@@ -322,7 +344,10 @@ def neardup_pairs_exact_arrow(
     (x, y) only for ``x < y``, so each unordered pair surfaces exactly
     once with no distinct. Still O(n²) compute by definition — the scale
     path remains :func:`neardup_pairs_lsh`; this exists so the declared
-    exact ORACLE baseline is cheap enough to run routinely.
+    exact ORACLE baseline is cheap enough to run routinely. Inputs above
+    ``EXACT_BASELINE_ROW_CAP`` rows (override per-call with ``row_cap=``)
+    are REFUSED with a pointer at the LSH path — the driver-side matrix is
+    this baseline's contract, not an accident to scale through.
 
     Caveat (same as :func:`brute_force_topk_arrow`): BLAS accumulates in a
     different order than the JVM left-fold / a SQL SUM, so cosines can
@@ -332,6 +357,8 @@ def neardup_pairs_exact_arrow(
     """
     import numpy as np
 
+    _guard_exact_baseline(
+        df, row_cap, "neardup_pairs_exact_arrow", "neardup_pairs_lsh")
     rows = df.select(id_col, vec_col).collect()
     if not rows:
         # the JVM twin lazily returns an empty frame here; match it rather
@@ -448,6 +475,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    row_cap: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbours per query — the Arrow/numpy vectorized twin of
     :func:`brute_force_topk` for when the per-pair math, not the shuffle, is
@@ -467,9 +495,16 @@ def brute_force_topk_arrow(
     the JVM left-fold, so cosines can differ in the last ulp and EXACT ties
     at the k-boundary may resolve differently. Ranks are tie-broken by
     ascending neighbor id, like the JVM path.
+
+    Query sets above ``EXACT_BASELINE_ROW_CAP`` rows (override with
+    ``row_cap=``) are refused — the bucketed ANN paths are the scale
+    answer, this is the grading baseline.
     """
     import numpy as np
 
+    _guard_exact_baseline(
+        queries, row_cap, "brute_force_topk_arrow",
+        "ann_lsh_topk / ivf_topk (bucketed probes + exact rerank)")
     rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in rows], dtype=np.float64)

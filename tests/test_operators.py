@@ -947,3 +947,27 @@ def test_neardup_exact_arrow_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = neardup_pairs_exact_arrow(empty, 0.9)
     assert out.columns == ["id_a", "id_b"] and out.count() == 0
+
+
+def test_exact_baseline_row_cap_refuses(spark):
+    """Round-6 (verdict ask #6): the declared driver-collect baselines
+    refuse oversized inputs with a pointer at the bucketed scale paths,
+    instead of quietly making the driver the bottleneck at 100x."""
+    import pytest as _pytest
+
+    from json_schemer_spark.operators.similarity import (
+        brute_force_topk_arrow,
+        neardup_pairs_exact_arrow,
+    )
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(4)]).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="neardup_pairs_lsh"):
+        neardup_pairs_exact_arrow(emb, 0.9, row_cap=10)
+    with _pytest.raises(ValueError, match="bucketed probes"):
+        brute_force_topk_arrow(emb, emb, k=3, row_cap=10)
+    # at or below the cap both run fine (the guard's limit-scan stops early)
+    assert neardup_pairs_exact_arrow(emb, 0.9, row_cap=50).count() >= 0
+    assert brute_force_topk_arrow(emb, emb.limit(5), k=3, row_cap=5).count() > 0
