@@ -583,13 +583,110 @@ def probe_mp4(data: bytes) -> tuple[int, int, int, str]:
     return int(duration * 1000 // timescale), width, height, brand or ""
 
 
+# MPEG-1/2 Layer III frame-header tables (ISO/IEC 11172-3 §2.4.2.3 — public
+# standard constants, same provenance bar as the JPEG Annex-K tables).
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 160, 192, 224, 256, 320, 0)      # kbps, idx 0/15 invalid
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                      80, 96, 112, 128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}  # version bits → Hz
+
+
+def synth_mp3_bytes(media_id: int, seed: str = "jss-mp3-v1") -> bytes:
+    """A genuine MPEG-1 Layer III byte stream, deterministic per id: an
+    ID3v2.3 tag (which the probe must skip) followed by N complete frames,
+    each with a valid 4-byte header (sync/version/layer/bitrate/rate/
+    padding) and a correctly-sized filler payload. No psychoacoustics —
+    the FRAMING is the real thing :func:`probe_mp3` parses, exactly like
+    :func:`synth_mp4_bytes` carries no codec payload."""
+    h = 2166136261
+    for ch in f"{seed}:{media_id}".encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    br_idx = 1 + h % 14                 # 32..320 kbps, never free/invalid
+    sr_idx = (h >> 4) % 3               # 44100/48000/32000
+    n_frames = 4 + (h >> 8) % 40
+    mode = (h >> 16) % 4                # stereo/joint/dual/mono
+    rate = _MP3_RATES[3][sr_idx]
+    bitrate = _MP3_BITRATES_V1L3[br_idx]
+    tag_body = b"TIT2" + _struct.pack(">I", 8) + b"\x00\x00" + b"\x00jss-mp3"
+    # ID3v2 size is 28-bit syncsafe (7 bits per byte)
+    sz = len(tag_body)
+    id3 = (b"ID3\x03\x00\x00"
+           + bytes(((sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F)) + tag_body)
+    out = bytearray(id3)
+    for i in range(n_frames):
+        padding = (h >> (i % 16)) & 1
+        flen = 144_000 * bitrate // rate + padding
+        hdr = (0b11111111111 << 21          # sync
+               | 3 << 19                    # MPEG-1
+               | 1 << 17                    # Layer III
+               | 1 << 16                    # no CRC
+               | br_idx << 12 | sr_idx << 10 | padding << 9
+               | mode << 6)
+        frame = bytearray(_struct.pack(">I", hdr))
+        frame += bytes(((h >> ((j + i) % 24)) & 0xFF) for j in range(flen - 4))
+        out += frame
+    return bytes(out)
+
+
+def probe_mp3(data: bytes) -> tuple[int, int, int, int]:
+    """MPEG Layer III metadata probe → (duration_ms, sample_rate_hz,
+    bitrate_kbps, n_frames). Pure frame-header walk: skips a leading
+    ID3v2 tag, then requires every frame to carry a valid sync word,
+    MPEG-1/2 version, Layer III, and a non-free bitrate index; frame
+    length and samples-per-frame come from the header tables, so duration
+    is exact for CBR and a frame-weighted sum for VBR (bitrate_kbps is
+    then the rounded average). Raises ValueError on non-MP3 bytes,
+    free-format bitrate, or a truncated final frame."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        sz = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+              | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + sz
+    n_frames = 0
+    total_samples = 0.0
+    total_bits = 0
+    rate = None
+    while pos + 4 <= len(data):
+        (hdr,) = _struct.unpack_from(">I", data, pos)
+        if hdr >> 21 != 0x7FF:
+            raise ValueError("mp3: lost frame sync")
+        version = (hdr >> 19) & 3           # 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5
+        layer = (hdr >> 17) & 3             # 1 = Layer III
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 3
+        padding = (hdr >> 9) & 1
+        if version not in (2, 3) or layer != 1:
+            raise ValueError("mp3: not MPEG-1/2 Layer III")
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("mp3: free-format or invalid header index")
+        frate = _MP3_RATES[version][sr_idx]
+        if rate is None:
+            rate = frate
+        kbps = (_MP3_BITRATES_V1L3 if version == 3
+                else _MP3_BITRATES_V2L3)[br_idx]
+        spf = 1152 if version == 3 else 576
+        flen = (144_000 if version == 3 else 72_000) * kbps // frate + padding
+        if pos + flen > len(data):
+            raise ValueError("mp3: truncated frame")
+        n_frames += 1
+        total_samples += spf * 1000.0 / frate   # ms contributed
+        total_bits += kbps
+        pos += flen
+    if not n_frames:
+        raise ValueError("mp3: no frames")
+    return (int(total_samples), rate, round(total_bits / n_frames), n_frames)
+
+
 def probe_media_metadata(df: DataFrame) -> DataFrame:
     """REAL metadata probe for every supported container in ONE
     Arrow-batched ``mapInPandas`` stage: WAV (sample count / rate →
-    duration), BMP/PNG/JPEG (decoded dimensions), MP4 (BMFF ``mvhd`` /
-    ``tkhd`` — container parse is real even though frame decode needs a
-    codec). Undecodable rows degrade to probe_ok=False. The probed
-    ``duration_ms`` is what :func:`frame_sample_plan` consumes."""
+    duration), MP3 (Layer III frame-header walk → duration), BMP/PNG/JPEG
+    (decoded dimensions), MP4 (BMFF ``mvhd`` / ``tkhd`` — container parse
+    is real even though frame decode needs a codec). Undecodable rows
+    degrade to probe_ok=False. The probed ``duration_ms`` is what
+    :func:`frame_sample_plan` consumes."""
     import pandas as pd
 
     from json_schemer_spark.operators.jpeg import decode_jpeg
@@ -610,6 +707,8 @@ def probe_media_metadata(df: DataFrame) -> DataFrame:
                     if mime == "audio/wav":
                         rate, samples = decode_wav(data)
                         dur = len(samples) * 1000 // rate
+                    elif mime == "audio/mpeg":
+                        dur, _rate, _kbps, _n = probe_mp3(data)
                     elif mime == "image/bmp":
                         w, hgt, _ = decode_bmp(data)
                     elif mime == "image/png":

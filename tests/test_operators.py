@@ -971,3 +971,55 @@ def test_exact_baseline_row_cap_refuses(spark):
     # at or below the cap both run fine (the guard's limit-scan stops early)
     assert neardup_pairs_exact_arrow(emb, 0.9, row_cap=50).count() >= 0
     assert brute_force_topk_arrow(emb, emb.limit(5), k=3, row_cap=5).count() > 0
+
+
+def test_mp3_frame_probe_roundtrip(spark):
+    """Round-6 (verdict stretch #8): MPEG-1 Layer III frame-header probe —
+    synth emits genuine framing (ID3v2 tag + valid headers + exact frame
+    lengths), probe recovers duration/rate/bitrate/frame-count, corrupt
+    streams raise per the strict degradation contract."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from json_schemer_spark.operators.multimodal import (
+        _MP3_BITRATES_V1L3,
+        _MP3_RATES,
+        probe_media_metadata,
+        probe_mp3,
+        synth_mp3_bytes,
+    )
+
+    for i in (0, 5, 77):
+        data = synth_mp3_bytes(i)
+        dur, rate, kbps, n = probe_mp3(data)
+        h = 2166136261
+        for ch in f"jss-mp3-v1:{i}".encode():
+            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+        assert rate == _MP3_RATES[3][(h >> 4) % 3]
+        assert kbps == _MP3_BITRATES_V1L3[1 + h % 14]
+        assert n == 4 + (h >> 8) % 40
+        assert abs(dur - int(n * 1152 * 1000.0 / rate)) <= 1
+
+    good = synth_mp3_bytes(3)
+    for mutant in (b"junk", good[:-3], good[len(good) // 2:]):
+        with _pytest.raises(ValueError):
+            probe_mp3(mutant)
+    free = _struct.pack(">I", 0x7FF << 21 | 3 << 19 | 1 << 17 | 1 << 16)
+    with _pytest.raises(ValueError):
+        probe_mp3(free + b"\x00" * 100)
+
+    # one-stage probe dispatches audio/mpeg alongside the other containers
+    import pandas as pd
+    rows = [(int(i), "audio", "audio/mpeg", None, None, None,
+             bytearray(synth_mp3_bytes(i))) for i in range(4)]
+    rows.append((99, "audio", "audio/mpeg", None, None, None,
+                 bytearray(b"definitely not mp3")))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, data binary",
+    )
+    out = {r.media_id: r for r in probe_media_metadata(media).collect()}
+    assert all(out[i].probe_ok and out[i].duration_ms > 0 for i in range(4))
+    assert out[99].probe_ok is False
