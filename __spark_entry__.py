@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_repetition_filter": q40_repetition_filter,
         "q41_media_probe": q41_media_probe,
         "q42_media_resize": q42_media_resize,
+        "q43_checkpoint_resume": q43_checkpoint_resume,
     }
 
 
@@ -810,6 +811,62 @@ def q42_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).cast("double").alias("f0"),
         F.round(F.element_at("features", 4), 6).cast("double").alias("f3"))
     return ok.unionByName(degraded)
+
+
+def q43_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume validation run, driver-visible end to end
+    (round 6, verdict "missing" #3 + stretch #8): the corpus is processed
+    in 12 deterministic work units; the FIRST run is stopped after 5 units
+    (``max_units`` — the budgeted-progress ops knob standing in for a
+    crash); a SECOND CheckpointedRun against the same ledger resumes and
+    completes exactly the 7 remaining units. Output = the ledger's
+    per-unit lineage (rows validated, failures) + which phase ran it.
+
+    The unit key is ``int(md5(repo)[:2], 16) % 12`` — md5 instead of the
+    default xxhash64 bucketing because DuckDB computes the identical
+    digest, so the oracle independently re-derives every ledger row
+    (including the run1/run2 split, which is pending-order-deterministic:
+    units 0-4 run first). Reference parity: json_schemer has no resume
+    story (batch-only, SURVEY.md §2.10) — this is engine-added ops
+    surface; the ledger layout mirrors an Iceberg snapshot table
+    (plans/checkpoint.py docstring)."""
+    import shutil
+
+    from json_schemer_spark import compile_schema
+    from json_schemer_spark.plans.checkpoint import CheckpointedRun
+    from json_schemer_spark.sources.corpus import FLAGSHIP_SCHEMA
+
+    corpus = _corpus_cached(spark, 50_000)
+    base = "/tmp/jss_q43_ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    plan = compile_schema(FLAGSHIP_SCHEMA)
+    unit = F.pmod(
+        F.conv(F.substring(F.md5("repo"), 1, 2), 16, 10).cast("int"),
+        F.lit(12))
+
+    def mk() -> CheckpointedRun:
+        return CheckpointedRun(
+            spark, f"{base}/ledger", f"{base}/out",
+            n_units=12, unit_expr=unit,
+        )
+
+    def validate(df: DataFrame) -> DataFrame:
+        return plan.validate_json_column(df, "content")
+
+    first = mk().run(corpus, validate, run_id="run1", max_units=5)
+    assert first["units_run"] == 5
+    resumed = mk().run(corpus, validate, run_id="run2")
+    assert resumed["skipped_units"] == 5 and resumed["units_run"] == 7
+    return (
+        mk().metrics()
+        .select(
+            "unit",
+            F.col("n_rows").alias("n_rows"),
+            F.col("n_failed").alias("n_failed"),
+            F.col("run_id").alias("phase"),
+        )
+        .orderBy("unit")
+    )
 
 
 def _ensure_oracle_caches() -> None:
@@ -1181,6 +1238,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, COUNT(*) AS files,
                    CAST(SUM(1 - ok) AS BIGINT) AS failed
             FROM v GROUP BY repo
+        """,
+        "q43_checkpoint_resume": """
+            WITH c AS (
+                -- int(md5(repo)[:2], 16) % 12 via hex-digit arithmetic
+                -- (DuckDB cannot cast a hex string to INT directly)
+                SELECT ((STRPOS('0123456789abcdef', SUBSTR(md5(repo), 1, 1)) - 1) * 16
+                        + STRPOS('0123456789abcdef', SUBSTR(md5(repo), 2, 1)) - 1) % 12 AS unit,
+                       CASE WHEN json_valid(content) THEN content END AS content
+                FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet')
+            ),
+            v AS (
+                SELECT unit,
+                    CASE WHEN content IS NOT NULL
+                          AND json_type(content) = 'OBJECT'
+                          AND json_type(content, '$.name') = 'VARCHAR'
+                          AND LENGTH(json_extract_string(content, '$.name')) BETWEEN 3 AND 64
+                          AND regexp_matches(json_extract_string(content, '$.name'),
+                                             '^[a-z][a-z0-9_]*$')
+                          AND json_type(content, '$.size') IN ('BIGINT', 'UBIGINT')
+                          AND CAST(json_extract(content, '$.size') AS BIGINT) BETWEEN 0 AND 1000000
+                          AND json_extract_string(content, '$.lang') IN
+                              ('json','yaml','py','rb','js','go','md')
+                          AND (json_type(content, '$.stars') IS NULL OR (
+                               json_type(content, '$.stars') IN ('BIGINT','UBIGINT','DOUBLE')
+                               AND CAST(json_extract(content, '$.stars') AS DOUBLE) >= 0))
+                          AND (json_type(content, '$.tags') IS NULL OR (
+                               json_type(content, '$.tags') = 'ARRAY'
+                               AND json_array_length(content, '$.tags') <= 8))
+                          AND (json_type(content, '$.meta') IS NULL OR (
+                               json_type(content, '$.meta') = 'OBJECT'
+                               AND (json_type(content, '$.meta.license') IS NULL OR (
+                                    json_type(content, '$.meta.license') = 'VARCHAR'
+                                    AND LENGTH(json_extract_string(content, '$.meta.license')) >= 2))
+                               AND (json_type(content, '$.meta.forks') IS NULL OR (
+                                    json_type(content, '$.meta.forks') IN ('BIGINT','UBIGINT')
+                                    AND CAST(json_extract(content, '$.meta.forks') AS BIGINT) >= 0))))
+                         THEN 1 ELSE 0 END AS ok
+                FROM c
+            )
+            SELECT unit, COUNT(*) AS n_rows,
+                   CAST(SUM(1 - ok) AS BIGINT) AS n_failed,
+                   CASE WHEN unit < 5 THEN 'run1' ELSE 'run2' END AS phase
+            FROM v GROUP BY unit
         """,
         "q28_bpe_token_stats": """
             SELECT doc_id,

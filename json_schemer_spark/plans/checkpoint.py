@@ -47,14 +47,22 @@ class CheckpointedRun:
         out_path: str,
         n_units: int = 16,
         unit_col: str = "repo",
+        unit_expr=None,
     ) -> None:
         self.spark = spark
         self.ledger_path = ledger_path
         self.out_path = out_path
         self.n_units = n_units
         self.unit_col = unit_col
+        # optional explicit bucketing Column (must be deterministic and in
+        # [0, n_units)) — lets callers use an externally-recomputable unit
+        # key (e.g. one an audit SQL engine can derive) instead of the
+        # default xxhash64 bucketing
+        self.unit_expr = unit_expr
 
     def _unit_expr(self):
+        if self.unit_expr is not None:
+            return self.unit_expr.cast("int")
         return F.pmod(F.xxhash64(F.col(self.unit_col)), F.lit(self.n_units)).cast("int")
 
     def completed_units(self) -> set[int]:
@@ -75,6 +83,7 @@ class CheckpointedRun:
         df: DataFrame,
         validate: Callable[[DataFrame], DataFrame],
         run_id: Optional[str] = None,
+        max_units: Optional[int] = None,
     ) -> dict:
         """Process every pending unit; returns a summary dict.
 
@@ -83,10 +92,17 @@ class CheckpointedRun:
         the commit order (data first, ledger second) makes the ledger a
         conservative low-water mark: a crash between the two re-runs the
         unit idempotently (same deterministic output overwrites).
+
+        ``max_units`` bounds this invocation's work (ops knob: budgeted
+        incremental progress; also how tests exercise crash-then-resume
+        without killing a JVM) — remaining units stay pending for the
+        next run.
         """
         run_id = run_id or uuid.uuid4().hex[:12]
         pending = self.pending_units()
         summary = {"run_id": run_id, "units_run": 0, "rows": 0, "failed": 0, "skipped_units": self.n_units - len(pending)}
+        if max_units is not None:
+            pending = pending[:max_units]
         staged = df.withColumn("__unit", self._unit_expr())
         for unit in pending:
             t0 = time.time()

@@ -138,6 +138,36 @@ def test_checkpoint_resume(spark, tables, tmp_path):
     assert total == tables["orders"].count()
 
 
+def test_checkpoint_max_units_and_custom_unit_expr(spark, tables, tmp_path):
+    """Round-6 (q43's machinery): max_units bounds one invocation's work
+    (crash/budget stand-in) and a custom deterministic unit expression
+    replaces the xxhash64 default; a second run resumes EXACTLY the
+    remainder and totals match an un-checkpointed pass."""
+    from json_schemer_spark.operators.table_constraints import TableConstraints
+    from json_schemer_spark.plans.checkpoint import CheckpointedRun
+
+    tc = TableConstraints({"properties": {"o_totalprice": {"maximum": 300000}}})
+    unit = F.pmod(F.col("o_orderkey"), F.lit(6))
+
+    def mk():
+        return CheckpointedRun(
+            spark, str(tmp_path / "ledger"), str(tmp_path / "out"),
+            n_units=6, unit_expr=unit,
+        )
+
+    s1 = mk().run(tables["orders"], tc.validate, run_id="a", max_units=2)
+    assert s1["units_run"] == 2 and s1["skipped_units"] == 0
+    assert sorted(mk().pending_units()) == [2, 3, 4, 5]
+    s2 = mk().run(tables["orders"], tc.validate, run_id="b")
+    assert s2["units_run"] == 4 and s2["skipped_units"] == 2
+    led = mk().metrics()
+    assert led.count() == 6
+    by_run = {r.run_id: r.n for r in
+              led.groupBy("run_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_run == {"a": 2, "b": 4}
+    assert led.agg(F.sum("n_rows")).collect()[0][0] == tables["orders"].count()
+
+
 def test_multimodal_plumbing(spark):
     from json_schemer_spark.operators.multimodal import extract_features, synth_media
 
