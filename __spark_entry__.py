@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_media_probe": q41_media_probe,
         "q42_media_resize": q42_media_resize,
         "q43_checkpoint_resume": q43_checkpoint_resume,
+        "q44_streaming_dedup": q44_streaming_dedup,
     }
 
 
@@ -867,6 +868,73 @@ def q43_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("unit")
     )
+
+
+def q44_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming exact dedup, driver-visible end to end
+    (round 6, closing verdict "missing" #3 — the streaming operators were
+    pytest-proven but invisible to the oracle harness): documents are
+    amplified into deliberate duplicates (every row re-keyed to the text
+    of ``doc_id % 250``), written as THREE parquet files and replayed as a
+    real stream (``maxFilesPerTrigger=1`` ⇒ ≥3 micro-batches,
+    ``availableNow`` termination); ``streaming_dedup_exact`` keeps the
+    first occurrence per content hash within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` state). All copies of a key carry
+    IDENTICAL payload, so the surviving row's values are deterministic
+    regardless of micro-batch arrival order, and the synthetic event
+    times all sit inside one horizon so no state expires mid-replay (the
+    expiry path is pytest-asserted in test_streaming_windowed.py). The
+    DuckDB oracle re-derives the distinct surviving payloads with the
+    same md5 — no streaming machinery shared."""
+    import shutil
+
+    from json_schemer_spark.streaming.windowed import streaming_dedup_exact
+
+    base = "/tmp/jss_q44_stream"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    keys = docs.select(
+        F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")
+    ).filter(F.col("src_id") < 250)
+    amplified = (
+        docs.alias("a")
+        .join(keys, F.pmod(F.col("a.doc_id"), F.lit(250)) == F.col("src_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("src_text").alias("text"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.pmod(F.col("a.doc_id"), F.lit(300))
+            ).alias("event_time"),
+        )
+    )
+    # three arrival slices -> three stream files -> >=3 micro-batches
+    for lo, hi in ((0, 3), (3, 6), (6, 10)):
+        amplified.filter(
+            F.pmod(F.col("doc_id"), F.lit(10)).between(lo, hi - 1)
+        ).coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id bigint, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    deduped = streaming_dedup_exact(
+        stream, "text", "event_time", watermark_delay="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{base}/sink")
+        .option("checkpointLocation", f"{base}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/sink")
+    return out.select(
+        "content_hash",
+        F.length("text").cast("int").alias("text_len"),
+    ).orderBy("content_hash")
 
 
 def _ensure_oracle_caches() -> None:
@@ -1281,6 +1349,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(1 - ok) AS BIGINT) AS n_failed,
                    CASE WHEN unit < 5 THEN 'run1' ELSE 'run2' END AS phase
             FROM v GROUP BY unit
+        """,
+        "q44_streaming_dedup": """
+            SELECT DISTINCT md5(b.text) AS content_hash,
+                   CAST(LENGTH(b.text) AS INT) AS text_len
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id % 250
         """,
         "q28_bpe_token_stats": """
             SELECT doc_id,

@@ -190,9 +190,17 @@ def _vocab_compatible(nd: Dialect, d: Dialect) -> bool:
         d, enabled_vocabs=None
     ):
         return False
-    return nd.vocab_enabled("format-assertion") == d.vocab_enabled(
-        "format-assertion"
-    )
+
+    # format-assertion semantics must match _check's definition exactly:
+    # formats ASSERT only when enabled_vocabs explicitly lists the vocab
+    # (None = default vocabulary set = annotate-only), NOT vocab_enabled()
+    # — which returns True for None and would spuriously flag a standard
+    # resource nested in a custom-vocabulary document as incompatible.
+    def asserts_formats(x: Dialect) -> bool:
+        return (x.enabled_vocabs is not None
+                and "format-assertion" in x.enabled_vocabs)
+
+    return asserts_formats(nd) == asserts_formats(d)
 
 
 def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:

@@ -585,3 +585,27 @@ def test_expensive_leaf_cost_rejects_inline_blowup():
     from json_schemer_spark.schema.columnar import prepare
     from json_schemer_spark.schema.dialects import DRAFT202012
     prepare(small, DRAFT202012)  # must not raise
+
+
+def test_vocab_compatible_semantics():
+    """_vocab_compatible must mirror _check's format-assertion definition:
+    enabled_vocabs=None means DEFAULT vocabularies (annotate-only formats),
+    so a standard resource nested in a custom-vocabulary document is
+    compatible; only explicit format-assertion divergence (or any
+    non-vocab field difference) rejects."""
+    from dataclasses import replace
+
+    from json_schemer_spark.schema.columnar import _vocab_compatible
+    from json_schemer_spark.schema.dialects import DRAFT7, DRAFT202012
+
+    custom = replace(DRAFT202012,
+                     enabled_vocabs=frozenset({"applicator", "core"}))
+    asserting = replace(DRAFT202012,
+                        enabled_vocabs=frozenset({"core", "format-assertion"}))
+    assert _vocab_compatible(DRAFT202012, DRAFT202012)
+    assert _vocab_compatible(custom, DRAFT202012)      # restricted in std
+    assert _vocab_compatible(DRAFT202012, custom)      # std in restricted
+    assert _vocab_compatible(custom, replace(
+        DRAFT202012, enabled_vocabs=frozenset({"validation", "core"})))
+    assert not _vocab_compatible(asserting, DRAFT202012)   # assert vs annotate
+    assert not _vocab_compatible(DRAFT7, DRAFT202012)      # different draft
