@@ -732,14 +732,16 @@ def q41_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container-metadata probe across every supported media format
     in one Arrow-batched mapInPandas stage (multimodal.probe_media_metadata):
     WAV duration from sample count/rate, MP3 duration/rate via a Layer III
-    frame-header walk (ID3v2 skipped — round 6), BMP/PNG/JPEG decoded
-    dimensions, and MP4 via a genuine ISO BMFF box walk (ftyp/moov/mvhd/
-    tkhd — the container parse is real; only frame decode needs a codec
-    and stays the declared stub). Input: synth_media_real's
-    wav/bmp/png/jpeg mix plus synthesized BMFF containers and MP3
-    streams. Deterministic → golden fixture."""
+    frame-header walk (ID3v2 skipped — round 6), AAC duration/rate via an
+    ADTS frame-header walk (round 6), BMP/PNG/JPEG decoded dimensions, and
+    MP4 via a genuine ISO BMFF box walk (ftyp/moov/mvhd/tkhd — the
+    container parse is real; only frame decode needs a codec and stays
+    the declared stub). Input: synth_media_real's wav/bmp/png/jpeg mix
+    plus synthesized BMFF containers and MP3/ADTS streams.
+    Deterministic → golden fixture."""
     from json_schemer_spark.operators.multimodal import (
         probe_media_metadata,
+        synth_aac_bytes,
         synth_media_real,
         synth_mp3_bytes,
         synth_mp4_bytes,
@@ -774,10 +776,26 @@ def q41_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "data": [synth_mp4_bytes(i) for i in ids],
             })
 
+    def add_aac(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame({
+                "media_id": [30_000 + i for i in ids],
+                "kind": ["audio"] * len(ids),
+                "mime": ["audio/aac"] * len(ids),
+                "width": [None] * len(ids), "height": [None] * len(ids),
+                "duration_ms": [None] * len(ids),
+                "data": [synth_aac_bytes(i) for i in ids],
+            })
+
     from json_schemer_spark.operators.multimodal import MEDIA_SCHEMA
     vids = spark.range(200).mapInPandas(add_mp4, schema=MEDIA_SCHEMA)
     mp3s = spark.range(200).mapInPandas(add_mp3, schema=MEDIA_SCHEMA)
-    out = probe_media_metadata(media.unionByName(vids).unionByName(mp3s))
+    aacs = spark.range(200).mapInPandas(add_aac, schema=MEDIA_SCHEMA)
+    out = probe_media_metadata(
+        media.unionByName(vids).unionByName(mp3s).unionByName(aacs))
     return out.select("media_id", "kind", "mime", "width", "height",
                       "duration_ms", "probe_ok")
 

@@ -679,10 +679,87 @@ def probe_mp3(data: bytes) -> tuple[int, int, int, int]:
     return (int(total_samples), rate, round(total_bits / n_frames), n_frames)
 
 
+# ADTS sampling-frequency table (ISO/IEC 13818-7 / 14496-3 §1.6.3.4 —
+# public standard constants, same provenance bar as the MP3/JPEG tables).
+_AAC_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+              22050, 16000, 12000, 11025, 8000, 7350)
+
+
+def synth_aac_bytes(media_id: int, seed: str = "jss-aac-v1") -> bytes:
+    """A genuine AAC ADTS byte stream, deterministic per id: N complete
+    frames, each a valid 7-byte ADTS header (syncword/layer-0/LC profile/
+    rate index/channel config/13-bit frame length/VBR fullness) followed
+    by a correctly-sized filler payload. No codec payload — the FRAMING is
+    the real thing :func:`probe_aac` parses, exactly like
+    :func:`synth_mp3_bytes` / :func:`synth_mp4_bytes`."""
+    h = 2166136261
+    for ch in f"{seed}:{media_id}".encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    sr_idx = 3 + h % 6                  # 48000..12000, always valid
+    channels = 1 + (h >> 4) % 2
+    mpeg2 = (h >> 6) & 1                # both ID values in the corpus
+    n_frames = 4 + (h >> 8) % 40
+    out = bytearray()
+    for i in range(n_frames):
+        payload_len = 48 + ((h >> (i % 20)) & 0x7F)
+        flen = 7 + payload_len          # includes the header, 13 bits
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF0 | (mpeg2 << 3) | 0b001     # sync, ID, layer=00, no CRC
+        hdr[2] = (1 << 6) | (sr_idx << 2) | (channels >> 2)  # LC profile
+        hdr[3] = ((channels & 3) << 6) | (flen >> 11)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 7) << 5) | 0x1F        # fullness hi = VBR
+        hdr[6] = 0xFC                            # fullness lo, 1 rdb (0)
+        out += hdr
+        out += bytes(((h >> ((j + i) % 24)) & 0xFF) for j in range(payload_len))
+    return bytes(out)
+
+
+def probe_aac(data: bytes) -> tuple[int, int, int, int]:
+    """AAC ADTS metadata probe → (duration_ms, sample_rate_hz, channels,
+    n_frames). Pure frame-header walk: every frame must carry a valid
+    12-bit syncword, layer 00, a non-reserved sampling-frequency index and
+    a frame length that covers its own header; each frame contributes
+    (raw_data_blocks+1) × 1024 samples at the header's rate, so duration
+    is exact regardless of VBR. Raises ValueError on non-ADTS bytes,
+    reserved rate index, or a truncated final frame."""
+    pos = 0
+    n_frames = 0
+    total_ms = 0.0
+    rate = channels = None
+    while pos + 7 <= len(data):
+        b = data[pos:pos + 7]
+        if b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:   # sync + layer == 00
+            raise ValueError("aac: lost ADTS frame sync")
+        protection_absent = b[1] & 1
+        sr_idx = (b[2] >> 2) & 0xF
+        if sr_idx >= len(_AAC_RATES):
+            raise ValueError("aac: reserved sampling-frequency index")
+        ch = ((b[2] & 1) << 2) | (b[3] >> 6)
+        flen = ((b[3] & 3) << 11) | (b[4] << 3) | (b[5] >> 5)
+        hdr_len = 7 if protection_absent else 9
+        if flen < hdr_len:
+            raise ValueError("aac: frame length smaller than its header")
+        if pos + flen > len(data):
+            raise ValueError("aac: truncated frame")
+        rdb = b[6] & 3
+        frate = _AAC_RATES[sr_idx]
+        if rate is None:
+            rate, channels = frate, ch
+        n_frames += 1
+        total_ms += (rdb + 1) * 1024 * 1000.0 / frate
+        pos += flen
+    if not n_frames:
+        raise ValueError("aac: no frames")
+    return (int(total_ms), rate, channels, n_frames)
+
+
 def probe_media_metadata(df: DataFrame) -> DataFrame:
     """REAL metadata probe for every supported container in ONE
     Arrow-batched ``mapInPandas`` stage: WAV (sample count / rate →
-    duration), MP3 (Layer III frame-header walk → duration), BMP/PNG/JPEG
+    duration), MP3 (Layer III frame-header walk → duration), AAC (ADTS
+    frame-header walk → duration), BMP/PNG/JPEG
     (decoded dimensions), MP4 (BMFF ``mvhd`` / ``tkhd`` — container parse
     is real even though frame decode needs a codec). Undecodable rows
     degrade to probe_ok=False. The probed ``duration_ms`` is what
@@ -709,6 +786,8 @@ def probe_media_metadata(df: DataFrame) -> DataFrame:
                         dur = len(samples) * 1000 // rate
                     elif mime == "audio/mpeg":
                         dur, _rate, _kbps, _n = probe_mp3(data)
+                    elif mime == "audio/aac":
+                        dur, _rate, _ch, _n = probe_aac(data)
                     elif mime == "image/bmp":
                         w, hgt, _ = decode_bmp(data)
                     elif mime == "image/png":

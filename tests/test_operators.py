@@ -1053,3 +1053,59 @@ def test_mp3_frame_probe_roundtrip(spark):
     out = {r.media_id: r for r in probe_media_metadata(media).collect()}
     assert all(out[i].probe_ok and out[i].duration_ms > 0 for i in range(4))
     assert out[99].probe_ok is False
+
+def test_aac_adts_probe_roundtrip(spark):
+    """Round-6: AAC ADTS frame-header probe — synth emits genuine ADTS
+    framing (valid syncwords, 13-bit frame lengths covering their own
+    headers, VBR fullness), probe recovers duration/rate/channels/frame
+    count, corrupt streams raise per the strict degradation contract."""
+    import pytest as _pytest
+
+    from json_schemer_spark.operators.multimodal import (
+        _AAC_RATES,
+        probe_aac,
+        probe_media_metadata,
+        synth_aac_bytes,
+    )
+
+    for i in (0, 5, 77):
+        data = synth_aac_bytes(i)
+        dur, rate, channels, n = probe_aac(data)
+        h = 2166136261
+        for ch in f"jss-aac-v1:{i}".encode():
+            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+        assert rate == _AAC_RATES[3 + h % 6]
+        assert channels == 1 + (h >> 4) % 2
+        assert n == 4 + (h >> 8) % 40
+        assert abs(dur - int(n * 1024 * 1000.0 / rate)) <= 1
+
+    good = synth_aac_bytes(3)
+    for mutant in (b"junk", good[:-3], good[len(good) // 2 + 1:]):
+        with _pytest.raises(ValueError):
+            probe_aac(mutant)
+    # reserved sampling-frequency index rejects
+    bad = bytearray(good)
+    bad[2] = (bad[2] & 0xC3) | (14 << 2)
+    with _pytest.raises(ValueError):
+        probe_aac(bytes(bad))
+    # frame length shorter than its own header rejects
+    short = bytearray(good[:7])
+    short[3] = short[3] & 0xC0
+    short[4] = 0
+    short[5] = (3 << 5) | 0x1F
+    with _pytest.raises(ValueError):
+        probe_aac(bytes(short))
+
+    # one-stage probe dispatches audio/aac alongside the other containers
+    rows = [(int(i), "audio", "audio/aac", None, None, None,
+             bytearray(synth_aac_bytes(i))) for i in range(4)]
+    rows.append((99, "audio", "audio/aac", None, None, None,
+                 bytearray(b"definitely not aac")))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, data binary",
+    )
+    out = {r.media_id: r for r in probe_media_metadata(media).collect()}
+    assert all(out[i].probe_ok and out[i].duration_ms > 0 for i in range(4))
+    assert out[99].probe_ok is False
