@@ -315,8 +315,17 @@ class CompiledSchema:
             self.dialect, enabled_vocabs=frozenset(vocabs) | {"format-assertion"}
         )
 
+    # Sampled-probe tier chooser (round 6 — the knob BENCH.md's hybrid
+    # scale measurement documented): at routed fraction ~0.5 the split
+    # plan measured 0.79x of simply running the interpreter on everything
+    # (ROUTED_r6.json), so past this threshold "auto" skips the split.
+    # 0.4 sits below the measured crossover with margin for the probe
+    # pass the split still pays (14-17% of wall).
+    _ROUTE_AUTO_THRESHOLD = 0.4
+    _ROUTE_SAMPLE_ROWS = 4096
+
     def validate_json_column(self, df, content_col: str, *, force_interpreter: bool = False,
-                             prefilter=None):
+                             prefilter=None, route_strategy: str = "split"):
         """Validate a JSON-string column → df + ``valid`` + ``violations``.
 
         Returns a DataFrame with two added columns:
@@ -339,7 +348,24 @@ class CompiledSchema:
         duplicated in or dropped from the union. ``persist()`` or
         ``localCheckpoint()`` such inputs first (or pass
         ``force_interpreter=True``). Non-cyclic schemas evaluate the source
-        exactly once and are unaffected."""
+        exactly once and are unaffected.
+
+        ``route_strategy`` (cyclic-$ref schemas only; non-cyclic plans are
+        byte-identical under every value):
+        - ``"split"`` (default) — always build the two-branch hybrid plan.
+          Lazy, no job runs at plan-build time; the right call when most
+          rows are shallow (the production shape: ROUTED_r6.json measured
+          0.1% routed ⇒ overhead = one pruned probe pass, 14-17% of wall).
+        - ``"auto"`` — eagerly probe up to ``_ROUTE_SAMPLE_ROWS`` rows (one
+          small Spark job NOW, against the head of ``df``) and skip the
+          split in favor of interpreter-everything when the estimated
+          routed fraction exceeds ``_ROUTE_AUTO_THRESHOLD`` (0.4 — at
+          ~0.5 routed the split measured 0.79x of interpreter-all because
+          both branches stay fat while the probe pass is still paid).
+          Use when the depth distribution of the corpus is unknown."""
+        if route_strategy not in ("split", "auto"):
+            raise ValueError(
+                f"route_strategy must be 'split' or 'auto', got {route_strategy!r}")
         if prefilter is not None:
             df = df.filter(prefilter)
         prepared = None if force_interpreter else self._prepared_schema()
@@ -379,6 +405,22 @@ class CompiledSchema:
                 # tail. Columnar-parquet re-scan with column pruning is the
                 # cheapest second pass available.
                 import pyspark.sql.functions as F
+
+                if route_strategy == "auto":
+                    # One bounded job over the head of the input: the
+                    # sample is an estimate, not a contract, so limit()'s
+                    # arbitrary-N-rows semantics are fine — and cheap
+                    # (early-terminated scan, probe is pure-Column).
+                    stats = (
+                        df.select(probe(F.col(content_col)).alias("__r"))
+                        .limit(self._ROUTE_SAMPLE_ROWS)
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             F.sum(F.col("__r").cast("long")).alias("deep"))
+                        .first()
+                    )
+                    n, deep = stats["n"], stats["deep"] or 0
+                    if n and deep / n > self._ROUTE_AUTO_THRESHOLD:
+                        return self._validate_with_interpreter(df, content_col)
 
                 # collision-proof working column (review finding: a user
                 # column literally named __jss_route__ used to be

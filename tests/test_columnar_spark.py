@@ -609,3 +609,81 @@ def test_vocab_compatible_semantics():
         DRAFT202012, enabled_vocabs=frozenset({"validation", "core"})))
     assert not _vocab_compatible(asserting, DRAFT202012)   # assert vs annotate
     assert not _vocab_compatible(DRAFT7, DRAFT202012)      # different draft
+
+
+def test_route_strategy_auto_tier_chooser(spark):
+    """Round 6: the sampled-probe tier chooser BENCH.md documented as the
+    knob for deep-heavy workloads. route_strategy='auto' probes a bounded
+    sample at plan-build time: a deep-heavy input (routed fraction above
+    the 0.4 threshold) skips the two-branch split and runs the interpreter
+    on everything (no Union in the plan); a shallow input keeps the split.
+    Verdicts are identical under every strategy."""
+    import json
+
+    import pytest as _pytest
+
+    from json_schemer_spark import compile_schema
+
+    schema = {
+        "$defs": {"node": {
+            "type": "object",
+            "required": ["val"],
+            "properties": {
+                "val": {"type": "integer"},
+                "next": {"$ref": "#/$defs/node"},
+            },
+            "additionalProperties": False,
+        }},
+        "$ref": "#/$defs/node",
+    }
+    plan = compile_schema(schema)
+
+    def chain(n, bad=False):
+        node = {"val": "BAD" if bad else n}
+        for i in range(n - 1, -1, -1):
+            node = {"val": i, "next": node}
+        return json.dumps(node)
+
+    deep_heavy = spark.createDataFrame(
+        [(i, chain(7, bad=i % 3 == 0)) for i in range(40)]
+        + [(100 + i, chain(1)) for i in range(8)],
+        "id long, content string")
+    shallow = spark.createDataFrame(
+        [(i, chain(i % 3, bad=i % 5 == 0)) for i in range(48)],
+        "id long, content string")
+
+    def plan_str(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # deep-heavy: auto chooses interpreter-everything -> single branch
+    auto_deep = plan.validate_json_column(deep_heavy, "content",
+                                          route_strategy="auto")
+    assert "Union" not in plan_str(auto_deep)
+    assert plan_str(auto_deep).count("MapInPandas") == 1
+    # shallow: auto keeps the hybrid split -> union of two branches
+    auto_shallow = plan.validate_json_column(shallow, "content",
+                                             route_strategy="auto")
+    assert "Union" in plan_str(auto_shallow)
+
+    for df in (deep_heavy, shallow):
+        a = {r.id: r.valid for r in plan.validate_json_column(
+            df, "content", route_strategy="auto").collect()}
+        s = {r.id: r.valid for r in plan.validate_json_column(
+            df, "content").collect()}
+        i = {r.id: r.valid for r in plan.validate_json_column(
+            df, "content", force_interpreter=True).collect()}
+        assert a == s == i
+
+    # non-cyclic schemas: probe is None, auto changes nothing (still lazy,
+    # identical plan up to expression ids)
+    import re
+
+    flat = compile_schema({"type": "object"})
+    df = spark.createDataFrame([("{}",)], "content string")
+    norm = lambda s: re.sub(r"(#|\bx_)\d+", r"\1", s)
+    assert norm(plan_str(flat.validate_json_column(df, "content"))) == norm(
+        plan_str(flat.validate_json_column(df, "content",
+                                           route_strategy="auto")))
+
+    with _pytest.raises(ValueError, match="route_strategy"):
+        plan.validate_json_column(shallow, "content", route_strategy="bogus")
