@@ -469,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_media_resize": q42_media_resize,
         "q43_checkpoint_resume": q43_checkpoint_resume,
         "q44_streaming_dedup": q44_streaming_dedup,
+        "q45_pii_scrub": q45_pii_scrub,
+        "q46_c4_line_filter": q46_c4_line_filter,
     }
 
 
@@ -955,6 +957,79 @@ def q44_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("content_hash")
 
 
+def q45_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round 6) — the standard pre-training scrub pass
+    (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>, e.g. the BigScience
+    ROOTS regex stage): counts measured on the original text plus the
+    md5 of the redacted projection. Pure chained JVM regexp_replace —
+    narrow map, no shuffle. Input: documents.text with deterministic
+    doc_id-derived PII appended identically in both engines, so every
+    pattern is exercised on every row; the DuckDB oracle runs the SAME
+    RE2/Java-compatible patterns through its own regex engine."""
+    from json_schemer_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail.example.org or 10."),
+            (d % 200).cast("string"), F.lit("."),
+            ((d * 7) % 250).cast("string"), F.lit("."),
+            (d % 100).cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+            F.lit(" done"),
+        ).alias("text"),
+    )
+    out = pii_scrub(synth, "text")
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+def q46_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level quality filtering (Raffel et al. 2020 §2.2,
+    round 6): keep lines ending in terminal punctuation with >= 5 words;
+    reject pages with < 3 surviving lines, 'lorem ipsum', or a curly
+    brace. Pure Column array algebra (text.c4_line_features) — narrow
+    per-document map. Input: five-line pages synthesized deterministically
+    from documents (one always-kept sentence built from the text, one
+    unterminated fragment, one too-short line, and doc_id-gated lorem/
+    code-brace lines so every rule fires). The DuckDB oracle recomputes
+    everything with its own list machinery over the same synthesized
+    pages."""
+    from json_schemer_spark.operators.text import c4_line_features
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            F.substring("text", 61, 40),
+            F.lit("too few."),
+            F.when(d % 7 == 0,
+                   F.lit("lorem ipsum dolor sit amet consectetur adipiscing."))
+             .otherwise(F.lit("a perfectly ordinary sentence with enough words here.")),
+            F.when(d % 5 == 0, F.lit("function f() { return 1; }"))
+             .otherwise(F.lit("another closing sentence with plenty of words too!")),
+        ).alias("text"),
+    )
+    out = c4_line_features(synth, "text")
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "kept_line_frac",
+        "has_lorem_ipsum", "has_curly_brace", "kept",
+        F.md5("kept_text").alias("kept_text_md5"),
+    )
+
+
 def _ensure_oracle_caches() -> None:
     """The q22/q23 oracles read /tmp parquet caches that the Spark queries
     materialize. If the driver runs oracles FIRST in a fresh container,
@@ -1373,6 +1448,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(b.text) AS INT) AS text_len
             FROM documents a
             JOIN documents b ON b.doc_id = a.doc_id % 250
+        """,
+        "q45_pii_scrub": r"""
+            WITH synth AS (
+                SELECT doc_id,
+                       substr(text, 1, 80)
+                       || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.org or 10.'
+                       || CAST(doc_id % 200 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+                       || '.' || CAST(doc_id % 100 AS VARCHAR)
+                       || ' call 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                       || ' done' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+                       AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INT)
+                       AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                       '<PHONE>', 'g')) AS scrubbed_md5
+            FROM synth
+        """,
+        "q46_c4_line_filter": r"""
+            WITH synth AS (
+                SELECT doc_id,
+                       substr(text, 1, 60) || '.' || chr(10)
+                       || substr(text, 61, 40) || chr(10)
+                       || 'too few.' || chr(10)
+                       || CASE WHEN doc_id % 7 = 0
+                            THEN 'lorem ipsum dolor sit amet consectetur adipiscing.'
+                            ELSE 'a perfectly ordinary sentence with enough words here.'
+                          END || chr(10)
+                       || CASE WHEN doc_id % 5 = 0
+                            THEN 'function f() { return 1; }'
+                            ELSE 'another closing sentence with plenty of words too!'
+                          END AS text
+                FROM documents
+            ), lined AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> trim(x) != '') AS lines
+                FROM synth
+            ), feat AS (
+                SELECT doc_id, text, lines,
+                       list_filter(lines,
+                           x -> regexp_matches(rtrim(x), '[.!?"]$')
+                                AND len(list_filter(string_split(x, ' '),
+                                                    t -> t != '')) >= 5)
+                           AS kept_lines
+                FROM lined
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   CAST(len(kept_lines) AS INT) AS n_kept_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN round(len(kept_lines) / CAST(len(lines) AS DOUBLE), 6)
+                        ELSE 0.0 END AS kept_line_frac,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                   contains(text, '{') AS has_curly_brace,
+                   len(kept_lines) >= 3
+                       AND NOT contains(lower(text), 'lorem ipsum')
+                       AND NOT contains(text, '{') AS kept,
+                   md5(array_to_string(kept_lines, chr(10))) AS kept_text_md5
+            FROM feat
         """,
         "q28_bpe_token_stats": """
             SELECT doc_id,

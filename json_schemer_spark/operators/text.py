@@ -180,6 +180,96 @@ def repetition_filter(
     )
 
 
+# PII patterns, restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (the DuckDB oracle): explicit [0-9] classes (no
+# Unicode-\d divergence), no lookaround, ASCII \b. Redaction order matters
+# — emails first (their dotted domains could otherwise feed the dotted
+# patterns), then IPs, then phones.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def pii_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds PII-indicator counts — ``n_emails``, ``n_ipv4``, ``n_phones``
+    (the standard pre-training scrub targets, e.g. the BigScience ROOTS
+    pipeline's regex pass). Pure Column ``regexp_count``: JVM-side, narrow
+    per-document map, no shuffle/Python."""
+    text = F.col(text_col)
+    return df.withColumns({
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "n_ipv4": F.regexp_count(text, F.lit(PII_IPV4_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)),
+    })
+
+
+def pii_scrub(df: DataFrame, text_col: str, out_col: str = "scrubbed") -> DataFrame:
+    """PII redaction: adds the :func:`pii_features` counts (measured on the
+    ORIGINAL text) plus ``out_col`` with emails → ``<EMAIL>``, IPv4s →
+    ``<IP>``, phone numbers → ``<PHONE>``. One pass of chained JVM
+    ``regexp_replace`` — the redacted corpus is a projection, never a
+    shuffle, so the op composes with dedup/quality stages at any scale."""
+    out = pii_features(df, text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    return out.withColumn(out_col, scrubbed)
+
+
+# C4's line-level heuristics (Raffel et al. 2020 §2.2 — public): keep lines
+# that end in terminal punctuation and have >= 5 words; drop whole pages
+# with < 3 surviving lines, any "lorem ipsum", or a curly brace.
+C4_TERMINAL_PUNCT_RE = r'[.!?"]$'
+
+
+def c4_line_features(df: DataFrame, text_col: str, *, min_words: int = 5,
+                     min_kept_lines: int = 3) -> DataFrame:
+    """C4-style line filtering as pure Column array algebra: adds
+
+    - ``n_lines``        — non-blank line count,
+    - ``n_kept_lines``   — lines ending in terminal punctuation
+      (``[.!?"]`` after rtrim) with at least ``min_words`` words,
+    - ``kept_line_frac`` — their ratio (0.0 for blank documents),
+    - ``has_lorem_ipsum`` / ``has_curly_brace`` — page-level markers,
+    - ``kept_text``      — the surviving lines re-joined, the actual
+      training-corpus projection,
+    - ``kept``           — page verdict: >= ``min_kept_lines`` surviving
+      lines and neither marker.
+
+    No shuffle, no Python — a narrow per-document map, same scale contract
+    as :func:`repetition_features`."""
+    text = F.col(text_col)
+    df = df.withColumn(
+        "__c4_lines", F.filter(F.split(text, "\n"), lambda x: F.trim(x) != ""))
+    lines = F.col("__c4_lines")
+
+    def _line_kept(x):
+        words = F.size(F.filter(F.split(x, " "), lambda t: t != ""))
+        return F.rtrim(x).rlike(C4_TERMINAL_PUNCT_RE) & (words >= min_words)
+
+    df = df.withColumn("__c4_kept", F.filter(lines, _line_kept))
+    kept = F.col("__c4_kept")
+    n_lines, n_kept = F.size(lines), F.size(kept)
+    out = df.withColumns({
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept,
+        "kept_line_frac": F.when(
+            n_lines > 0, F.round(n_kept.cast("double") / n_lines, 6)
+        ).otherwise(F.lit(0.0)),
+        "has_lorem_ipsum": F.lower(text).contains("lorem ipsum"),
+        "has_curly_brace": text.contains("{"),
+        "kept_text": F.array_join(kept, "\n"),
+    })
+    out = out.withColumn(
+        "kept",
+        (F.col("n_kept_lines") >= min_kept_lines)
+        & ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace"),
+    )
+    return out.drop("__c4_lines", "__c4_kept")
+
+
 def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-profile language guess → adds detected_lang, lang_score.
 

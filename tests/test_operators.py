@@ -1109,3 +1109,62 @@ def test_aac_adts_probe_roundtrip(spark):
     out = {r.media_id: r for r in probe_media_metadata(media).collect()}
     assert all(out[i].probe_ok and out[i].duration_ms > 0 for i in range(4))
     assert out[99].probe_ok is False
+
+def test_pii_scrub(spark):
+    """Round 6: PII redaction — counts on original text, redaction order
+    (emails before IPs before phones), and no Python stage in the plan."""
+    from json_schemer_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "write to jane.doe+spam@corp.example.com or bob@x.io today"),
+        (2, "server 192.168.1.100 and 10.0.0.1 port 80"),
+        (3, "call 555-013-4567 or 555 222 1234 now"),
+        (4, "mixed: a@b.co from 8.8.8.8 dials 555-111-2222"),
+        (5, "clean text with no identifiers at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in pii_scrub(df, "text").collect()}
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (2, 0, 0)
+    assert "<EMAIL>" in out[1].scrubbed and "@" not in out[1].scrubbed
+    assert (out[2].n_emails, out[2].n_ipv4, out[2].n_phones) == (0, 2, 0)
+    assert out[2].scrubbed == "server <IP> and <IP> port 80"
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 2)
+    assert out[3].scrubbed == "call <PHONE> or <PHONE> now"
+    assert (out[4].n_emails, out[4].n_ipv4, out[4].n_phones) == (1, 1, 1)
+    assert out[4].scrubbed == "mixed: <EMAIL> from <IP> dials <PHONE>"
+    assert out[5].scrubbed == rows[4][1]
+    assert out[6].scrubbed is None
+    plan = pii_scrub(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_c4_line_features(spark):
+    """Round 6: C4 line filters — terminal punctuation + min-words line
+    keep, page-level lorem/brace rejection, kept_text projection."""
+    from json_schemer_spark.operators.text import c4_line_features
+
+    good = ("the first sentence here has plenty of words inside it.\n"
+            "unterminated fragment of text\n"
+            "tiny one.\n"
+            'a quoted closing line with enough words to survive easily "\n'
+            "and one final sentence that also clears the word threshold!")
+    lorem = good + "\nsome Lorem Ipsum filler that should reject the page."
+    brace = good + "\nvar config = { nested: true };"
+    sparse = "only one surviving sentence with enough words right here.\n\nshort."
+    df = spark.createDataFrame(
+        [(1, good), (2, lorem), (3, brace), (4, sparse), (5, ""), (6, None)],
+        "id long, text string")
+    out = {r.id: r for r in c4_line_features(df, "text").collect()}
+    assert (out[1].n_lines, out[1].n_kept_lines) == (5, 3)
+    assert out[1].kept and not out[1].has_lorem_ipsum
+    assert out[1].kept_text.count("\n") == 2
+    assert "unterminated" not in out[1].kept_text
+    assert "tiny one." not in out[1].kept_text
+    assert out[2].has_lorem_ipsum and not out[2].kept  # case-insensitive
+    assert out[3].has_curly_brace and not out[3].kept
+    assert (out[4].n_lines, out[4].n_kept_lines, out[4].kept) == (2, 1, False)
+    assert (out[5].n_lines, out[5].kept_line_frac, out[5].kept) == (0, 0.0, False)
+    assert out[6].kept is None or out[6].kept is False  # null text degrades
+    plan = c4_line_features(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
