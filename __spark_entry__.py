@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_streaming_dedup": q44_streaming_dedup,
         "q45_pii_scrub": q45_pii_scrub,
         "q46_c4_line_filter": q46_c4_line_filter,
+        "q47_training_pipeline": q47_training_pipeline,
     }
 
 
@@ -1030,6 +1031,62 @@ def q46_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data preprocessing pipeline (round 6): page
+    synthesis → C4 line filter (c4_line_features) → PII redaction
+    (pii_scrub) → exact dedup keep-one (dedup_exact) → per-survivor
+    cluster accounting. Documents are amplified into exact-duplicate
+    families (every page built solely from ``doc_id % 250``'s text and
+    gates, so family members are byte-identical), pages carry a
+    deterministic PII line that SURVIVES the C4 filter and must be
+    redacted, and the dedup keeps the lowest doc_id per distinct redacted
+    text. Everything is narrow maps plus the dedup's one shuffle. The
+    DuckDB oracle re-derives the whole pipeline — list machinery, same
+    RE2/Java-compatible regexes, group-by min/count — sharing no code."""
+    from json_schemer_spark.operators.dedup import dedup_exact
+    from json_schemer_spark.operators.text import c4_line_features, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")
+    ).filter(F.col("src_id") < 250)
+    fam = (
+        docs.alias("a")
+        .join(src, F.pmod(F.col("a.doc_id"), F.lit(250)) == F.col("src_id"))
+        .select(F.col("a.doc_id").alias("doc_id"), "src_id", "src_text")
+    )
+    s = F.col("src_id")
+    pages = fam.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("src_text", 1, 60), F.lit(".")),
+            F.substring("src_text", 61, 40),
+            F.lit("too few."),
+            F.when(s % 7 == 0,
+                   F.lit("lorem ipsum dolor sit amet consectetur adipiscing."))
+             .otherwise(F.lit("a perfectly ordinary sentence with enough words here.")),
+            F.when(s % 5 == 0, F.lit("function f() { return 1; }"))
+             .otherwise(F.lit("another closing sentence with plenty of words too!")),
+            F.concat(F.lit("please contact user"), s.cast("string"),
+                     F.lit("@mail.example.org for all further details today.")),
+        ).alias("page"),
+    )
+    kept = (
+        c4_line_features(pages, "page")
+        .filter(F.col("kept"))
+        .select("doc_id", "kept_text")
+    )
+    clean = pii_scrub(kept, "kept_text", out_col="clean").select(
+        "doc_id", "n_emails", "clean")
+    sizes = clean.groupBy(F.md5("clean").alias("clean_md5")).agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    survivors = dedup_exact(clean, "clean", "doc_id").withColumn(
+        "clean_md5", F.md5("clean"))
+    return survivors.join(sizes, "clean_md5").select(
+        "doc_id", "clean_md5", "cluster_size", "n_emails")
+
+
 def _ensure_oracle_caches() -> None:
     """The q22/q23 oracles read /tmp parquet caches that the Spark queries
     materialize. If the driver runs oracles FIRST in a fresh container,
@@ -1525,6 +1582,69 @@ def oracle_sql() -> dict[str, str]:
                        AND NOT contains(text, '{') AS kept,
                    md5(array_to_string(kept_lines, chr(10))) AS kept_text_md5
             FROM feat
+        """,
+        "q47_training_pipeline": r"""
+            WITH fam AS (
+                SELECT a.doc_id AS doc_id, b.doc_id AS src_id,
+                       b.text AS src_text
+                FROM documents a
+                JOIN documents b ON b.doc_id = a.doc_id % 250
+            ), pages AS (
+                SELECT doc_id,
+                       substr(src_text, 1, 60) || '.' || chr(10)
+                       || substr(src_text, 61, 40) || chr(10)
+                       || 'too few.' || chr(10)
+                       || CASE WHEN src_id % 7 = 0
+                            THEN 'lorem ipsum dolor sit amet consectetur adipiscing.'
+                            ELSE 'a perfectly ordinary sentence with enough words here.'
+                          END || chr(10)
+                       || CASE WHEN src_id % 5 = 0
+                            THEN 'function f() { return 1; }'
+                            ELSE 'another closing sentence with plenty of words too!'
+                          END || chr(10)
+                       || 'please contact user' || CAST(src_id AS VARCHAR)
+                       || '@mail.example.org for all further details today.'
+                           AS page
+                FROM fam
+            ), feat AS (
+                SELECT doc_id, page,
+                       list_filter(
+                           list_filter(string_split(page, chr(10)),
+                                       x -> trim(x) != ''),
+                           x -> regexp_matches(rtrim(x), '[.!?"]$')
+                                AND len(list_filter(string_split(x, ' '),
+                                                    t -> t != '')) >= 5)
+                           AS kept_lines
+                FROM pages
+            ), kept AS (
+                SELECT doc_id,
+                       array_to_string(kept_lines, chr(10)) AS kept_text
+                FROM feat
+                WHERE len(kept_lines) >= 3
+                  AND NOT contains(lower(page), 'lorem ipsum')
+                  AND NOT contains(page, '{')
+            ), clean AS (
+                SELECT doc_id,
+                       CAST(len(email_matches) AS INT) AS n_emails,
+                       regexp_replace(regexp_replace(regexp_replace(kept_text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                           '<IP>', 'g'),
+                           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                           '<PHONE>', 'g') AS clean
+                FROM (SELECT doc_id, kept_text,
+                             regexp_extract_all(kept_text,
+                                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                                 AS email_matches
+                      FROM kept)
+            )
+            SELECT MIN(doc_id) AS doc_id,
+                   md5(clean) AS clean_md5,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   MIN(n_emails) AS n_emails
+            FROM clean
+            GROUP BY md5(clean), clean
         """,
         "q28_bpe_token_stats": """
             SELECT doc_id,
