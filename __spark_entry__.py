@@ -1034,16 +1034,23 @@ def q46_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data preprocessing pipeline (round 6): page
     synthesis → C4 line filter (c4_line_features) → PII redaction
-    (pii_scrub) → exact dedup keep-one (dedup_exact) → per-survivor
-    cluster accounting. Documents are amplified into exact-duplicate
-    families (every page built solely from ``doc_id % 250``'s text and
-    gates, so family members are byte-identical), pages carry a
-    deterministic PII line that SURVIVES the C4 filter and must be
-    redacted, and the dedup keeps the lowest doc_id per distinct redacted
-    text. Everything is narrow maps plus the dedup's one shuffle. The
-    DuckDB oracle re-derives the whole pipeline — list machinery, same
-    RE2/Java-compatible regexes, group-by min/count — sharing no code."""
-    from json_schemer_spark.operators.dedup import dedup_exact
+    (pii_scrub) → exact dedup keep-one + per-survivor cluster accounting.
+    Documents are amplified into exact-duplicate families (every page
+    built solely from ``doc_id % 250``'s text and gates, so family
+    members are byte-identical), pages carry a deterministic PII line
+    that SURVIVES the C4 filter and must be redacted, and the dedup keeps
+    the lowest doc_id per distinct redacted text.
+
+    Scale shape, chosen deliberately: composing ``dedup_exact`` plus a
+    separate size count would replay the expensive upstream (join + C4 +
+    scrub) three times (measured: 6 scans / 8 exchanges); instead the
+    keep-one semantics (min doc_id per content hash — exactly
+    ``dedup_exact``'s contract, oracled standalone as q16) FUSE with the
+    cluster accounting into ONE hash aggregation on the content md5 —
+    2 scans (corpus + broadcast dim), 1 shuffle of (md5, counters), no
+    Python. The DuckDB oracle re-derives the whole pipeline — list
+    machinery, same RE2/Java-compatible regexes, group-by min/count —
+    sharing no code."""
     from json_schemer_spark.operators.text import c4_line_features, pii_scrub
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1079,12 +1086,13 @@ def q47_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = pii_scrub(kept, "kept_text", out_col="clean").select(
         "doc_id", "n_emails", "clean")
-    sizes = clean.groupBy(F.md5("clean").alias("clean_md5")).agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    survivors = dedup_exact(clean, "clean", "doc_id").withColumn(
-        "clean_md5", F.md5("clean"))
-    return survivors.join(sizes, "clean_md5").select(
-        "doc_id", "clean_md5", "cluster_size", "n_emails")
+    return (
+        clean.groupBy(F.md5("clean").alias("clean_md5"))
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count(F.lit(1)).alias("cluster_size"),
+             F.min("n_emails").alias("n_emails"))
+        .select("doc_id", "clean_md5", "cluster_size", "n_emails")
+    )
 
 
 def _ensure_oracle_caches() -> None:
