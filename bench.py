@@ -175,6 +175,11 @@ def main() -> None:
         # round-over-round. q42 exercises the longest chain
         # (decode -> box resample -> PNG re-encode).
         "q42_media_resize",
+        # round 6: the new text-pipeline ops — PII redaction alone, and
+        # the composed C4->scrub->dedup pipeline (q47 subsumes q46's line
+        # filter, so its timing covers both).
+        "q45_pii_scrub",
+        "q47_training_pipeline",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
