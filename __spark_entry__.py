@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_pii_scrub": q45_pii_scrub,
         "q46_c4_line_filter": q46_c4_line_filter,
         "q47_training_pipeline": q47_training_pipeline,
+        "q48_vocab_stats": q48_vocab_stats,
     }
 
 
@@ -1095,6 +1096,19 @@ def q47_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (round 6) — the tokenizer-training /
+    IDF table: top-50 tokens by term frequency with total occurrences
+    (``tf``) and containing-document counts (``df``), deterministic
+    tie-break by token. One explode, one partial-aggregated (token)
+    shuffle, a k-row final sort (text.vocab_stats). The DuckDB oracle
+    re-derives it via unnest + GROUP BY + COUNT(DISTINCT doc_id)."""
+    from json_schemer_spark.operators.text import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_stats(docs, "text", "doc_id", k=50)
+
+
 def _ensure_oracle_caches() -> None:
     """The q22/q23 oracles read /tmp parquet caches that the Spark queries
     materialize. If the driver runs oracles FIRST in a fresh container,
@@ -1653,6 +1667,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_emails) AS n_emails
             FROM clean
             GROUP BY md5(clean), clean
+        """,
+        "q48_vocab_stats": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t != '')) AS token
+                FROM documents
+            )
+            SELECT token,
+                   COUNT(*) AS tf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM tok
+            GROUP BY token
+            ORDER BY tf DESC, token
+            LIMIT 50
         """,
         "q28_bpe_token_stats": """
             SELECT doc_id,

@@ -270,6 +270,23 @@ def c4_line_features(df: DataFrame, text_col: str, *, min_words: int = 5,
     return out.drop("__c4_lines", "__c4_kept")
 
 
+def vocab_stats(df: DataFrame, text_col: str, id_col: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary statistics — the tokenizer-training / IDF table:
+    top-``k`` tokens by term frequency with ``tf`` (total occurrences) and
+    ``df`` (documents containing the token). One explode → one partial-
+    aggregated (token) shuffle (Spark's distinct-count runs as a partial
+    aggregate too, so bytes shuffled ≈ distinct (token, doc) pairs, never
+    the corpus); the final top-k is a k-row sort. Deterministic tie-break
+    by token so the output is oracle-comparable."""
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__doc").alias("df"),
+    )
+    return counts.orderBy(F.desc("tf"), "token").limit(k)
+
+
 def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-profile language guess → adds detected_lang, lang_score.
 

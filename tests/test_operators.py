@@ -1168,3 +1168,23 @@ def test_c4_line_features(spark):
     assert out[6].kept is None or out[6].kept is False  # null text degrades
     plan = c4_line_features(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+def test_vocab_stats(spark):
+    """Round 6: vocabulary/IDF table — tf totals, per-document df, and the
+    deterministic (tf desc, token) top-k boundary under ties."""
+    from json_schemer_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"),
+         (2, "Alpha  beta\ndelta"),
+         (3, "epsilon alpha epsilon zeta"),
+         (4, "")],
+        "id long, text string")
+    rows = vocab_stats(df, "text", "id", k=3).collect()
+    assert [(r.token, r.tf, r.df) for r in rows] == [
+        ("alpha", 3, 3),   # case-folded across docs
+        ("beta", 3, 2),    # tf tie with alpha -> token tie-break
+        ("epsilon", 2, 1),
+    ]
+    # k larger than the vocabulary returns everything
+    assert vocab_stats(df, "text", "id", k=100).count() == 6
