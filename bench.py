@@ -180,6 +180,11 @@ def main() -> None:
         # filter, so its timing covers both).
         "q45_pii_scrub",
         "q47_training_pipeline",
+        # round 6 (session 3): the cross-document boilerplate-line dedup —
+        # the only new op with a shuffle-join plan (explode -> line-key agg
+        # -> lines-vs-freq join -> per-doc reassembly). q49's URL blocklist
+        # is the same narrow-map class q45 already tracks.
+        "q50_boilerplate_lines",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}

@@ -270,6 +270,78 @@ def c4_line_features(df: DataFrame, text_col: str, *, min_words: int = 5,
     return out.drop("__c4_lines", "__c4_kept")
 
 
+def boilerplate_line_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate-line removal (RefinedWeb-style line
+    dedup): a non-blank line whose normalized form (``lower(trim(...))``)
+    appears in at least ``min_docs`` *distinct* documents is treated as
+    boilerplate (nav bars, cookie banners, footers) and dropped from
+    every document that carries it.
+
+    Returns one row per input document: ``id_col``, ``n_lines`` (non-blank
+    lines), ``n_removed`` (boilerplate lines dropped), and ``kept_text``
+    (surviving lines re-joined in original order; ``''`` when everything
+    was boilerplate or the document had no non-blank lines).
+
+    Plan shape (100 TB contract): ``posexplode_outer`` of the non-blank
+    lines (outer keeps empty documents alive without a join back to the
+    source) → one partial-aggregated shuffle keyed on the normalized
+    line computing the distinct-document count → one shuffle hash join
+    of the lines against that per-line dimension → one hash aggregation
+    back to one row per document, re-assembling ``kept_text`` via
+    ``sort_array(collect_list(struct(pos, line)))``. The frequency
+    branch re-reads the source (two pruned columnar scans total) — the
+    deliberate trade against the single-scan alternative, which would
+    have to ``collect_list`` every (doc, pos, line) occurrence PER LINE
+    KEY and so would OOM a task on exactly the mega-boilerplate lines
+    this operator exists to remove. Both shuffles key on the line text,
+    so skew is bounded by the most common boilerplate line — AQE's
+    skew-join handling applies. No Python anywhere; ``collect_list``
+    per document is bounded by the document's own line count.
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    lines_arr = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    lines = df.select(
+        F.col(id_col).alias("__bp_id"),
+        F.posexplode_outer(lines_arr).alias("__bp_pos", "__bp_line"),
+    ).withColumn("__bp_key", F.lower(F.trim(F.col("__bp_line"))))
+    # distinct-document count per normalized line (partial aggregation
+    # applies: bytes shuffled ~ distinct (line, doc) pairs)
+    freq = (
+        lines.filter(F.col("__bp_key").isNotNull())
+        .groupBy("__bp_key")
+        .agg(F.countDistinct("__bp_id").alias("__bp_docs"))
+    )
+    tagged = lines.join(freq, on="__bp_key", how="left").withColumn(
+        "__bp_is_bp", F.coalesce(F.col("__bp_docs") >= min_docs, F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("__bp_is_bp") & F.col("__bp_line").isNotNull(),
+        F.struct(F.col("__bp_pos"), F.col("__bp_line")),
+    )
+    agg = tagged.groupBy("__bp_id").agg(
+        F.sum(F.when(F.col("__bp_line").isNotNull(), 1).otherwise(0))
+        .cast("int").alias("n_lines"),
+        F.sum(F.when(F.col("__bp_is_bp"), 1).otherwise(0))
+        .cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["__bp_line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return agg.withColumnRenamed("__bp_id", id_col)
+
+
 def vocab_stats(df: DataFrame, text_col: str, id_col: str, k: int = 100) -> DataFrame:
     """Corpus vocabulary statistics — the tokenizer-training / IDF table:
     top-``k`` tokens by term frequency with ``tf`` (total occurrences) and

@@ -1188,3 +1188,99 @@ def test_vocab_stats(spark):
     ]
     # k larger than the vocabulary returns everything
     assert vocab_stats(df, "text", "id", k=100).count() == 6
+
+
+def test_url_features_normalization(spark):
+    """Round 6: URL parse — userinfo/port/trailing-dot/case stripping and
+    registered-domain derivation incl. multi-label public suffixes."""
+    from json_schemer_spark.operators.web import url_features
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://user:pw@SRC3.Example.COM.:8443/p/2?q=1#f"),
+         (2, "http://a.b.docs.example.co.uk/x"),
+         (3, "ftp://host"),
+         (4, "not a url")],
+        "id long, url string")
+    rows = {r.id: r for r in url_features(df, "url").collect()}
+    assert (rows[1].scheme, rows[1].host, rows[1].registered_domain,
+            rows[1].path) == ("https", "src3.example.com", "example.com",
+                              "/p/2")
+    assert (rows[2].host, rows[2].registered_domain) == (
+        "a.b.docs.example.co.uk", "example.co.uk")
+    assert (rows[3].host, rows[3].registered_domain) == ("host", "host")
+    assert rows[4].scheme is None and rows[4].host == ""
+
+
+def test_domain_blocklist_filter_and_join_agree(spark):
+    """Round 6: the literal-array path and the DataFrame-join path must
+    produce identical (blocked, matched_entry); the most specific
+    (longest) entry wins; keep_blocked=False filters and drops the
+    annotation columns."""
+    from json_schemer_spark.operators.web import (
+        domain_blocklist_filter, domain_blocklist_join)
+
+    bl = ["src3.example.com", "example.co.uk", "cdn.src5.example.com"]
+    df = spark.createDataFrame(
+        [(1, "https://cdn.src5.example.com/a"),      # exact host
+         (2, "https://x.src3.example.com/b"),        # subdomain
+         (3, "https://a.b.docs.example.co.uk/c"),    # multi-label suffix
+         (4, "https://example.com/d"),               # unblocked
+         (5, "https://notcdn.src5.example.com/e")],  # NOT a suffix match
+        "id long, url string")
+    lit = {r.id: (r.blocked, r.matched_entry)
+           for r in domain_blocklist_filter(df, "url", bl).collect()}
+    assert lit == {1: (True, "cdn.src5.example.com"),
+                   2: (True, "src3.example.com"),
+                   3: (True, "example.co.uk"),
+                   4: (False, None),
+                   5: (False, None)}
+    bl_df = spark.createDataFrame([(e,) for e in bl], ["entry"])
+    joined = {r.id: (r.blocked, r.matched_entry)
+              for r in domain_blocklist_join(df, "url", bl_df, "id").collect()}
+    assert joined == lit
+    kept = domain_blocklist_filter(df, "url", bl, keep_blocked=False)
+    assert sorted(r.id for r in kept.collect()) == [4, 5]
+    assert "blocked" not in kept.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        domain_blocklist_filter(df, "url", [" ", ""])
+
+
+def test_boilerplate_line_filter(spark):
+    """Round 6: cross-document line dedup — normalized (lower/trim) match,
+    original line order preserved, empty/blank documents survive with
+    kept_text=''."""
+    from json_schemer_spark.operators.text import boilerplate_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "unique one\nSubscribe To Our Newsletter\nbody a"),
+         (2, "unique two\nsubscribe to our newsletter \ncookie policy"),
+         (3, "cookie policy\nonly here"),
+         (4, "subscribe to our newsletter"),
+         (5, ""),
+         (6, "   \n  ")],
+        "doc_id long, page string")
+    rows = {r.doc_id: r for r in
+            boilerplate_line_filter(df, "page", "doc_id").collect()}
+    assert len(rows) == 6
+    assert (rows[1].n_lines, rows[1].n_removed,
+            rows[1].kept_text) == (3, 1, "unique one\nbody a")
+    assert (rows[2].n_lines, rows[2].n_removed,
+            rows[2].kept_text) == (3, 2, "unique two")
+    assert rows[3].kept_text == "only here"
+    assert (rows[4].n_lines, rows[4].n_removed, rows[4].kept_text) == (1, 1, "")
+    assert (rows[5].n_lines, rows[5].kept_text) == (0, "")
+    assert (rows[6].n_lines, rows[6].kept_text) == (0, "")
+    # min_docs=3: only the newsletter line reaches 3 distinct docs (1,2,4);
+    # "cookie policy" (2 docs) now survives
+    strict = {r.doc_id: r for r in
+              boilerplate_line_filter(df, "page", "doc_id",
+                                      min_docs=3).collect()}
+    assert strict[2].kept_text == "unique two\ncookie policy"
+    assert strict[3].n_removed == 0
+    assert strict[4].n_removed == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        boilerplate_line_filter(df, "page", "doc_id", min_docs=0)
