@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_vocab_stats": q48_vocab_stats,
         "q49_url_blocklist": q49_url_blocklist,
         "q50_boilerplate_lines": q50_boilerplate_lines,
+        "q51_ngram_contamination": q51_ngram_contamination,
+        "q52_stratified_sample": q52_stratified_sample,
     }
 
 
@@ -1200,6 +1202,64 @@ def q50_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", page.alias("page"))
     return boilerplate_line_filter(pages, "page", "doc_id", min_docs=2)
+
+
+def q51_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 6) — GPT-3-style distinct word
+    8-gram overlap between the training corpus and a benchmark set. The
+    benchmark = every 50th document; training docs are the rest, with
+    contamination planted by construction (q47's derivation discipline):
+    10|doc_id%10==3 docs embed their family's full benchmark text (total
+    contamination), %10==7 docs prepend its first 60 characters (partial
+    — only the grams that survive the mid-word cut), everything else is
+    clean unless the corpus genuinely repeats an 8-gram.
+
+    Plan shape (text.ngram_contamination): benchmark distinct-gram set
+    builds once and BROADCASTS (eval suites are dimension-sized); train
+    side is one explode → one distinct (id, gram) shuffle → broadcast
+    hash join → per-doc aggregation. The DuckDB oracle re-derives
+    everything — n-gram construction via range/list_slice, distinct
+    sets, the join, the per-doc rates — sharing no machinery."""
+    from json_schemer_spark.operators.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = docs.filter(d % 50 == 0).select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("base_text"))
+    bench = base.select(F.col("base_text").alias("text"))
+    fam = (
+        docs.filter(d % 50 != 0)
+        .join(F.broadcast(base), (d - F.pmod(d, 50)) == F.col("base_id"))
+    )
+    planted = (
+        F.when(d % 10 == 3, F.concat(F.lit("copy "), d.cast("string"),
+                                     F.lit(" "), F.col("base_text")))
+        .when(d % 10 == 7, F.concat(F.substring("base_text", 1, 60),
+                                    F.lit(" "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    train = fam.select("doc_id", planted.alias("text"))
+    return ngram_contamination(train, bench, "text", "doc_id", n=8)
+
+
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (round 6) — the
+    source-balancing op: keep all of src0, half of src1, a quarter of
+    src2, 10% of everything else, selected by an md5 threshold on
+    doc_id so the sample is reproducible across runs, retries, and
+    cluster sizes (rand() is none of those), and samples for the same
+    seed NEST across fractions. One narrow JVM filter directly above
+    the scan — no shuffle, no Python. The DuckDB oracle recomputes the
+    md5 bucket bit-for-bit via per-hex-digit arithmetic (DuckDB has no
+    hex→int cast) and applies the same integer thresholds."""
+    from json_schemer_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_hash_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1, seed="jss-q52",
+    )
 
 
 def _ensure_oracle_caches() -> None:
@@ -2070,5 +2130,94 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(tbf, 6) AS top_bigram_frac,
                    dlf <= 0.30 AND dwf <= 0.70 AND tbf <= 0.08 AS kept
             FROM f3
+        """,
+        "q51_ngram_contamination": r"""
+            WITH base AS (
+                SELECT doc_id AS base_id, text AS base_text
+                FROM documents WHERE doc_id % 50 = 0
+            ),
+            train AS (
+                SELECT d.doc_id,
+                       CASE WHEN d.doc_id % 10 = 3
+                                THEN 'copy ' || CAST(d.doc_id AS VARCHAR)
+                                     || ' ' || b.base_text
+                            WHEN d.doc_id % 10 = 7
+                                THEN substr(b.base_text, 1, 60) || ' ' || d.text
+                            ELSE d.text END AS text
+                FROM documents d
+                JOIN base b ON d.doc_id - (d.doc_id % 50) = b.base_id
+                WHERE d.doc_id % 50 != 0
+            ),
+            bt AS (
+                SELECT list_filter(string_split_regex(lower(trim(base_text)),
+                                                      '\s+'),
+                                   x -> x <> '') AS toks
+                FROM base
+            ),
+            bgrams AS (
+                SELECT DISTINCT unnest(
+                    [array_to_string(list_slice(toks, i, i + 7), ' ')
+                     FOR i IN range(1, len(toks) - 6)]) AS gram
+                FROM bt
+            ),
+            tt AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x <> '') AS toks
+                FROM train
+            ),
+            tgrams AS (
+                SELECT DISTINCT doc_id, unnest(
+                    [array_to_string(list_slice(toks, i, i + 7), ' ')
+                     FOR i IN range(1, len(toks) - 6)]) AS gram
+                FROM tt
+            ),
+            hit AS (
+                SELECT t.doc_id,
+                       CAST(COUNT(*) AS INT) AS n_grams,
+                       CAST(SUM(CASE WHEN b.gram IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS INT)
+                           AS n_contaminated
+                FROM tgrams t LEFT JOIN bgrams b USING (gram)
+                GROUP BY t.doc_id
+            )
+            SELECT tr.doc_id,
+                   COALESCE(h.n_grams, 0) AS n_grams,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                   CASE WHEN COALESCE(h.n_grams, 0) > 0
+                        THEN ROUND(CAST(h.n_contaminated AS DOUBLE)
+                                   / h.n_grams, 6)
+                        ELSE 0.0 END AS contamination_frac,
+                   COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+            FROM train tr LEFT JOIN hit h USING (doc_id)
+        """,
+        "q52_stratified_sample": """
+            -- uint32 of md5(doc_id || seed)'s first 8 hex digits via
+            -- per-digit arithmetic (DuckDB has no hex-string -> int cast)
+            WITH h AS (
+                SELECT doc_id, source, lang,
+                       md5(CAST(doc_id AS VARCHAR) || 'jss-q52') AS hx
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, source, lang,
+                     (STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 268435456
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) * 16777216
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 3, 1)) - 1) * 1048576
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 4, 1)) - 1) * 65536
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 5, 1)) - 1) * 4096
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 6, 1)) - 1) * 256
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 7, 1)) - 1) * 16
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 8, 1)) - 1)
+                       AS bucket
+                FROM h
+            )
+            SELECT doc_id, source, lang
+            FROM b
+            WHERE bucket < CASE WHEN source = 'src0' THEN 4294967296
+                                WHEN source = 'src1' THEN 2147483648
+                                WHEN source = 'src2' THEN 1073741824
+                                ELSE 429496729 END
         """,
     }

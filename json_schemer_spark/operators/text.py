@@ -342,6 +342,74 @@ def boilerplate_line_filter(
     return agg.withColumnRenamed("__bp_id", id_col)
 
 
+def word_ngrams(text, n: int):
+    """Sliding word ``n``-grams of lowercased whitespace tokens as a
+    Column (array<string>); fewer than ``n`` tokens → empty array.
+    Pure HOF algebra (sequence → slice → array_join), no Python."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(text)
+    m = F.size(toks) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): for every
+    training document, count its distinct word ``n``-grams that also
+    occur anywhere in the benchmark set. Returns one row per training
+    document: ``id_col``, ``n_grams`` (distinct n-grams), ``n_contaminated``,
+    ``contamination_frac``, ``contaminated`` (any overlap).
+
+    Plan shape (100 TB contract): the benchmark side is contractually
+    small (eval suites, not the crawl) — its distinct n-gram set builds
+    once and broadcasts, so the train side is ONE explode → one distinct
+    (id, gram) shuffle → broadcast hash join → one per-doc aggregation.
+    Pass ``broadcast_bench=False`` to fall back to a shuffle join when
+    the benchmark set is itself huge. Documents with fewer than ``n``
+    tokens survive with ``n_grams = 0`` (explode_outer)."""
+    gram = word_ngrams(F.col(text_col), n)
+    bench_grams = (
+        bench_df.select(F.explode(gram).alias("__ct_gram"))
+        .distinct()
+        .withColumn("__ct_hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    train_grams = train_df.select(
+        F.col(id_col).alias("__ct_id"),
+        F.explode_outer(gram).alias("__ct_gram"),
+    ).distinct()
+    joined = train_grams.join(bench_grams, on="__ct_gram", how="left")
+    n_grams = F.sum(
+        F.when(F.col("__ct_gram").isNotNull(), 1).otherwise(0)).cast("int")
+    n_hit = F.sum(F.coalesce(F.col("__ct_hit"), F.lit(0))).cast("int")
+    agg = joined.groupBy("__ct_id").agg(
+        n_grams.alias("n_grams"), n_hit.alias("n_contaminated"))
+    out = agg.withColumns({
+        "contamination_frac": F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_contaminated").cast("double")
+                    / F.col("n_grams"), 6),
+        ).otherwise(F.lit(0.0)),
+        "contaminated": F.col("n_contaminated") > 0,
+    })
+    return out.withColumnRenamed("__ct_id", id_col)
+
+
 def vocab_stats(df: DataFrame, text_col: str, id_col: str, k: int = 100) -> DataFrame:
     """Corpus vocabulary statistics — the tokenizer-training / IDF table:
     top-``k`` tokens by term frequency with ``tf`` (total occurrences) and

@@ -1284,3 +1284,106 @@ def test_boilerplate_line_filter(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         boilerplate_line_filter(df, "page", "doc_id", min_docs=0)
+
+
+def test_word_ngrams(spark):
+    """Round 6: sliding word n-grams as a pure Column — lowercased,
+    whitespace-tokenized, fewer than n tokens -> empty array."""
+    from json_schemer_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "The quick  Brown fox"), (2, "one two"), (3, ""), (4, None)],
+        "id long, text string")
+    out = {r.id: r.g for r in
+           df.select("id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert out[1] == ["the quick brown", "quick brown fox"]
+    assert out[2] == []          # shorter than n
+    assert out[3] == []
+    assert out[4] == []          # null text degrades to empty (when->otherwise)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        word_ngrams(F.col("text"), 0)
+
+
+def test_ngram_contamination(spark):
+    """Round 6: GPT-3-style benchmark decontamination — distinct-gram
+    overlap per training doc, short docs survive with zero grams, and
+    the benchmark side is a broadcast hash join."""
+    from json_schemer_spark.operators.text import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string")
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma end"),          # 1 of 2 grams contaminated
+         (2, "alpha beta gamma delta"),        # both grams contaminated
+         (3, "zeta eta theta iota kappa"),     # clean
+         (4, "alpha beta"),                    # < n tokens -> 0 grams
+         (5, "beta gamma delta beta gamma delta x")],  # dup grams dedup'd
+        "doc_id long, text string")
+    res = ngram_contamination(train, bench, "text", "doc_id", n=3)
+    rows = {r.doc_id: r for r in res.collect()}
+    assert (rows[1].n_grams, rows[1].n_contaminated,
+            rows[1].contaminated) == (2, 1, True)
+    assert rows[1].contamination_frac == 0.5
+    assert (rows[2].n_grams, rows[2].n_contaminated) == (2, 2)
+    assert (rows[3].n_grams, rows[3].n_contaminated,
+            rows[3].contaminated) == (3, 0, False)
+    assert (rows[4].n_grams, rows[4].contamination_frac,
+            rows[4].contaminated) == (0, 0.0, False)
+    # doc 5: distinct grams = {beta gamma delta, gamma delta beta,
+    # delta beta gamma, gamma delta x, delta x? no -- 7 tokens -> 5 grams,
+    # distinct 5: bgd, gdb, dbg, bgd(dup), gdx -> 4 distinct; only bgd hits
+    assert (rows[5].n_grams, rows[5].n_contaminated) == (4, 1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """Round 6: md5-threshold sampling — reproducible across runs, nests
+    across fractions for the same seed, tracks the target fraction, and
+    different seeds select different rows."""
+    from json_schemer_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in hash_sample(df, "k", 0.2, seed="s").collect()}
+    s2 = {r.k for r in hash_sample(df, "k", 0.2, seed="s").collect()}
+    assert s1 == s2                                   # deterministic
+    big = {r.k for r in hash_sample(df, "k", 0.6, seed="s").collect()}
+    assert s1 <= big                                  # nested
+    assert abs(len(s1) / 2000 - 0.2) < 0.05           # tracks fraction
+    assert abs(len(big) / 2000 - 0.6) < 0.05
+    other = {r.k for r in hash_sample(df, "k", 0.2, seed="t").collect()}
+    assert other != s1                                # seed matters
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hash_sample(df, "k", 1.0).count() == 2000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+
+
+def test_stratified_hash_sample(spark):
+    """Round 6: per-stratum thresholds fold into one narrow filter — no
+    shuffle, no Python; 1.0 keeps the stratum, 0.0 via default drops
+    unlisted strata; the kept set is the per-stratum hash_sample."""
+    from json_schemer_spark.operators.sampling import (
+        hash_sample, stratified_hash_sample)
+
+    df = spark.range(0, 900).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"))
+    out = stratified_hash_sample(
+        df, "k", "g", {"g0": 1.0, "g1": 0.3}, default_fraction=0.0,
+        seed="z")
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, set()).add(r.k)
+    assert len(by_g.get("g0", ())) == 300             # fraction 1.0
+    assert "g2" not in by_g                           # default 0.0
+    expect_g1 = {r.k for r in hash_sample(
+        df.filter(F.col("g") == "g1"), "k", 0.3, seed="z").collect()}
+    assert by_g.get("g1", set()) == expect_g1         # == per-stratum sample
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan                     # one narrow filter
+    assert "Python" not in plan and "MapInPandas" not in plan
