@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_boilerplate_lines": q50_boilerplate_lines,
         "q51_ngram_contamination": q51_ngram_contamination,
         "q52_stratified_sample": q52_stratified_sample,
+        "q53_sequence_packing": q53_sequence_packing,
+        "q54_mixture_budget": q54_mixture_budget,
     }
 
 
@@ -1260,6 +1262,48 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 1.0, "src1": 0.5, "src2": 0.25},
         default_fraction=0.1, seed="jss-q52",
     )
+
+
+def q53_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing / concat-and-chunk planning (round 6) — where
+    does each document land when the corpus is concatenated in
+    deterministic md5 order and cut into 128-token context windows?
+    Per-group running sums (8 md5 pack groups; never a global
+    single-partition window) give each doc its start offset,
+    first/last window, windows spanned, and the boundary-crossing
+    flag. The DuckDB oracle re-derives everything: the uint32 bucket
+    per hex digit, the group assignment, the partitioned running sum,
+    and the floor-division window math."""
+    from json_schemer_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(
+        docs, "doc_id", "text", ctx_len=128, n_groups=8, seed="jss-q53")
+
+
+def q54_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixture / token-budget sampling (round 6) — sample each
+    source toward half the corpus's total whitespace tokens, with src0
+    weighted 3x and src1 2x (the rest 1x): per-source keep fractions
+    computed IN-PLAN (partial-agg over source -> tiny-window weight
+    normalization -> broadcast join), undersized sources capped at
+    keep-everything, selection by the q52 md5 threshold so the sample
+    is reproducible and nests. The only driver scalar is the corpus
+    token total (a one-number aggregate). The DuckDB oracle recomputes
+    totals, weights, the normalization, the capped fraction, the
+    floor(frac*2^32) threshold, and the per-hex-digit bucket."""
+    from json_schemer_spark.operators.sampling import budget_mixture_sample
+    from json_schemer_spark.operators.text import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", token_count(F.col("text"))
+                .cast("long").alias("n_tokens"))
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    return budget_mixture_sample(
+        docs, "doc_id", "source", "n_tokens", 0.5 * total,
+        weights={"src0": 3.0, "src1": 2.0}, seed="jss-q54")
 
 
 def _ensure_oracle_caches() -> None:
@@ -2219,5 +2263,97 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN source = 'src1' THEN 2147483648
                                 WHEN source = 'src2' THEN 1073741824
                                 ELSE 429496729 END
+        """,
+        "q53_sequence_packing": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(LEN(LIST_FILTER(
+                           regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                           t -> t != '')) AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR) || 'jss-q53') AS hx
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, n_tokens,
+                     (STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 268435456
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) * 16777216
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 3, 1)) - 1) * 1048576
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 4, 1)) - 1) * 65536
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 5, 1)) - 1) * 4096
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 6, 1)) - 1) * 256
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 7, 1)) - 1) * 16
+                   + (STRPOS('0123456789abcdef', SUBSTR(hx, 8, 1)) - 1)
+                       AS bucket
+                FROM h
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(bucket % 8 AS INT) AS pack_group,
+                       n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY bucket % 8
+                           ORDER BY bucket, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start_offset
+                FROM b
+            )
+            SELECT doc_id, pack_group, n_tokens, start_offset,
+                   CASE WHEN n_tokens > 0
+                        THEN start_offset // 128 END AS seq_first,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 128
+                        END AS seq_last,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 128
+                             - start_offset // 128 + 1
+                        ELSE 0 END AS n_seqs,
+                   COALESCE((start_offset + n_tokens - 1) // 128
+                            > start_offset // 128
+                            AND n_tokens > 0, FALSE) AS crosses_boundary
+            FROM s
+        """,
+        "q54_mixture_budget": r"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       CAST(LEN(LIST_FILTER(
+                           regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                           t -> t != '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            t AS (
+                SELECT source AS src,
+                       CAST(SUM(n_tokens) AS DOUBLE) AS total,
+                       CASE WHEN source = 'src0' THEN 3.0
+                            WHEN source = 'src1' THEN 2.0
+                            ELSE 1.0 END AS w
+                FROM d GROUP BY source
+            ),
+            f AS (
+                -- same double-op order as the Spark plan:
+                -- budget * w / wsum / total, budget = 0.5 * corpus tokens
+                SELECT src,
+                       LEAST(1.0,
+                             (SELECT 0.5 * CAST(SUM(n_tokens) AS DOUBLE)
+                              FROM d)
+                             * w / (SELECT SUM(w) FROM t) / total)
+                           AS keep_fraction
+                FROM t
+            ),
+            b AS (
+                SELECT d.doc_id, d.source, d.n_tokens, f.keep_fraction,
+                       md5(CAST(d.doc_id AS VARCHAR) || 'jss-q54') AS hx
+                FROM d JOIN f ON d.source = f.src
+            )
+            SELECT doc_id, source, n_tokens, keep_fraction
+            FROM b
+            WHERE (STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 268435456
+                + (STRPOS('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) * 16777216
+                + (STRPOS('0123456789abcdef', SUBSTR(hx, 3, 1)) - 1) * 1048576
+                + (STRPOS('0123456789abcdef', SUBSTR(hx, 4, 1)) - 1) * 65536
+                + (STRPOS('0123456789abcdef', SUBSTR(hx, 5, 1)) - 1) * 4096
+                + (STRPOS('0123456789abcdef', SUBSTR(hx, 6, 1)) - 1) * 256
+                + (STRPOS('0123456789abcdef', SUBSTR(hx, 7, 1)) - 1) * 16
+                + (STRPOS('0123456789abcdef', SUBSTR(hx, 8, 1)) - 1)
+                < CAST(FLOOR(keep_fraction * 4294967296.0) AS BIGINT)
         """,
     }

@@ -1387,3 +1387,94 @@ def test_stratified_hash_sample(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan                     # one narrow filter
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_pack_sequences(spark):
+    """Round 6: concat-and-chunk packing — per-group running offsets are
+    gap-free, window math matches the token stream, empty docs occupy no
+    window, and the plan is one pack_group shuffle with no Python."""
+    from json_schemer_spark.operators.packing import pack_sequences
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 17 == 0, F.lit(""))   # empty docs survive
+         .otherwise(F.concat(F.lit("w"), F.repeat(
+             F.lit(" tok"), (F.col("id") % 9).cast("int")))).alias("text"))
+    out = pack_sequences(docs, "doc_id", "text",
+                         ctx_len=16, n_groups=4, seed="p")
+    # ties on start_offset are zero-token docs; order them first so the
+    # gap-free walk below sees offsets before they advance
+    key = lambda r: (r.pack_group, r.start_offset, r.n_tokens, r.doc_id)
+    rows = sorted(out.collect(), key=key)
+    assert len(rows) == 300
+    assert {r.pack_group for r in rows} == {0, 1, 2, 3}
+    import itertools
+    for _, grp in itertools.groupby(rows, key=lambda r: r.pack_group):
+        off = 0
+        for r in grp:
+            assert r.start_offset == off              # gap-free concat
+            off += r.n_tokens
+            if r.n_tokens == 0:
+                assert (r.seq_first, r.seq_last, r.n_seqs,
+                        r.crosses_boundary) == (None, None, 0, False)
+            else:
+                assert r.seq_first == r.start_offset // 16
+                assert r.seq_last == (r.start_offset + r.n_tokens - 1) // 16
+                assert r.n_seqs == r.seq_last - r.seq_first + 1
+                assert r.crosses_boundary == (r.n_seqs > 1)
+    # deterministic: a second run packs identically
+    again = sorted(pack_sequences(docs, "doc_id", "text", ctx_len=16,
+                                  n_groups=4, seed="p").collect(), key=key)
+    assert rows == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 2                # pack_group shuffle only
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "text", ctx_len=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "text", ctx_len=16, n_groups=0)
+
+
+def test_budget_mixture_sample(spark):
+    """Round 6: token-budget mixture sampling — in-plan fractions hit the
+    weighted targets, oversubscribed sources cap at keep-everything, the
+    kept set is the per-source hash_sample, and the small side broadcasts."""
+    from json_schemer_spark.operators.sampling import (
+        budget_mixture_sample, hash_sample)
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+        (F.col("id") % 7 + 1).alias("sz"))
+    # totals ~3998/source; W = 2+1+1; budget 6000 -> targets 3000/1500/1500
+    out = budget_mixture_sample(df, "k", "src", "sz", 6000.0,
+                                weights={"s0": 2.0, "s1": 1.0}, seed="x")
+    got = {r.src: r for r in out.groupBy("src").agg(
+        F.sum("sz").alias("kept"),
+        F.first("keep_fraction").alias("f")).collect()}
+    assert abs(got["s0"].f - 6000.0 * 2 / 4 / 3999) < 1e-12
+    assert abs(got["s1"].f - 6000.0 * 1 / 4 / 3998) < 1e-12
+    for s, target in (("s0", 3000), ("s1", 1500), ("s2", 1500)):
+        assert abs(got[s].kept - target) / target < 0.15   # tracks target
+    # kept set == per-source hash_sample at the same fraction
+    kept_s1 = {r.k for r in out.filter(F.col("src") == "s1").collect()}
+    expect_s1 = {r.k for r in hash_sample(
+        df.filter(F.col("src") == "s1"), "k", got["s1"].f,
+        seed="x").collect()}
+    assert kept_s1 == expect_s1
+    # oversubscribed: budget >= corpus keeps everything at fraction 1.0
+    full = budget_mixture_sample(df, "k", "src", "sz", 1e12, seed="x")
+    assert full.count() == 3000
+    assert {r.keep_fraction for r in
+            full.select("keep_fraction").distinct().collect()} == {1.0}
+    assert budget_mixture_sample(df, "k", "src", "sz", 0.0).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        budget_mixture_sample(df, "k", "src", "sz", -1.0)
+    with _pytest.raises(ValueError):
+        budget_mixture_sample(df, "k", "src", "sz", 1.0,
+                              weights={"s0": -0.5})
