@@ -1282,27 +1282,27 @@ def q53_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q54_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Epoch-mixture / token-budget sampling (round 6) — sample each
-    source toward half the corpus's total whitespace tokens, with src0
+    """Epoch-mixture / size-budget sampling (round 6) — sample each
+    source toward half the corpus's total characters, with src0
     weighted 3x and src1 2x (the rest 1x): per-source keep fractions
     computed IN-PLAN (partial-agg over source -> tiny-window weight
     normalization -> broadcast join), undersized sources capped at
     keep-everything, selection by the q52 md5 threshold so the sample
-    is reproducible and nests. The only driver scalar is the corpus
-    token total (a one-number aggregate). The DuckDB oracle recomputes
-    totals, weights, the normalization, the capped fraction, the
+    is reproducible and nests. The budget keys on the MATERIALIZED
+    ``n_chars`` column deliberately: the totals pass then prunes to two
+    skinny columns (struct<source,n_chars> in the scan's ReadSchema) —
+    deriving size from ``text`` in-plan would re-scan the wide column
+    twice at 100 TB. The only driver scalar is the corpus char total
+    (a one-number aggregate). The DuckDB oracle recomputes totals,
+    weights, the normalization, the capped fraction, the
     floor(frac*2^32) threshold, and the per-hex-digit bucket."""
     from json_schemer_spark.operators.sampling import budget_mixture_sample
-    from json_schemer_spark.operators.text import token_count
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "source", token_count(F.col("text"))
-                .cast("long").alias("n_tokens"))
-    )
-    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
     return budget_mixture_sample(
-        docs, "doc_id", "source", "n_tokens", 0.5 * total,
+        docs, "doc_id", "source", "n_chars", 0.5 * total,
         weights={"src0": 3.0, "src1": 2.0}, seed="jss-q54")
 
 
@@ -2314,15 +2314,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q54_mixture_budget": r"""
             WITH d AS (
-                SELECT doc_id, source,
-                       CAST(LEN(LIST_FILTER(
-                           regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
-                           t -> t != '')) AS BIGINT) AS n_tokens
-                FROM documents
+                SELECT doc_id, source, n_chars FROM documents
             ),
             t AS (
                 SELECT source AS src,
-                       CAST(SUM(n_tokens) AS DOUBLE) AS total,
+                       CAST(SUM(n_chars) AS DOUBLE) AS total,
                        CASE WHEN source = 'src0' THEN 3.0
                             WHEN source = 'src1' THEN 2.0
                             ELSE 1.0 END AS w
@@ -2330,21 +2326,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
                 -- same double-op order as the Spark plan:
-                -- budget * w / wsum / total, budget = 0.5 * corpus tokens
+                -- budget * w / wsum / total, budget = 0.5 * corpus chars
                 SELECT src,
                        LEAST(1.0,
-                             (SELECT 0.5 * CAST(SUM(n_tokens) AS DOUBLE)
+                             (SELECT 0.5 * CAST(SUM(n_chars) AS DOUBLE)
                               FROM d)
                              * w / (SELECT SUM(w) FROM t) / total)
                            AS keep_fraction
                 FROM t
             ),
             b AS (
-                SELECT d.doc_id, d.source, d.n_tokens, f.keep_fraction,
+                SELECT d.doc_id, d.source, d.n_chars, f.keep_fraction,
                        md5(CAST(d.doc_id AS VARCHAR) || 'jss-q54') AS hx
                 FROM d JOIN f ON d.source = f.src
             )
-            SELECT doc_id, source, n_tokens, keep_fraction
+            SELECT doc_id, source, n_chars, keep_fraction
             FROM b
             WHERE (STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 268435456
                 + (STRPOS('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) * 16777216

@@ -185,6 +185,12 @@ def main() -> None:
         # -> lines-vs-freq join -> per-doc reassembly). q49's URL blocklist
         # is the same narrow-map class q45 already tracks.
         "q50_boilerplate_lines",
+        # round 6 (session 4): q51 is a new heavy class (distinct-gram
+        # shuffle + broadcast bench join over every train n-gram); q53 is
+        # the only partitioned running-sum-window plan in the engine —
+        # both classes were previously invisible to the bench.
+        "q51_ngram_contamination",
+        "q53_sequence_packing",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}

@@ -117,6 +117,12 @@ def budget_mixture_sample(
     hash join back and the same single narrow hash filter as
     :func:`hash_sample` — no driver collect, fractions computed in-plan.
     Returns the input rows that survive, plus ``keep_fraction``.
+
+    Scale note: the totals aggregate is a second pass over ``df``. Key
+    the budget on a MATERIALIZED size column (token/char counts stored
+    at ingest) so that pass prunes to two skinny columns in the scan; a
+    ``size_col`` derived in-plan from a wide text column would re-scan
+    the wide column twice — persist ``df`` first in that case.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
