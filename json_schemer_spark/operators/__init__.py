@@ -1,2 +1,3 @@
-"""Table-level validation operators: stats, uniqueness, referential,
-drift, dedup, similarity, text analysis."""
+"""Table-level validation and corpus-curation operators: stats,
+uniqueness, referential, drift, dedup, similarity, text analysis, web/URL
+filtering, multimodal probes, deterministic sampling, sequence packing."""

@@ -88,6 +88,23 @@ elif job == "minhash_lsh":
         t0 = time.time()
         out_df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
+elif job == "packing":
+    # the sequence-packing plan class (round 6): one hash exchange on
+    # pack_group + an in-partition sort + running-sum window. A third
+    # shuffle shape the other two jobs don't cover (window-sort vs
+    # shuffle-free scan vs band-bucket pairing). n_groups is FIXED at
+    # 256 (identical job at both cluster sizes; 256 >> 32 cores so the
+    # window parallelism is never the bottleneck at either level).
+    from json_schemer_spark.operators.packing import pack_sequences
+    docs = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"))
+    out_df = pack_sequences(docs, "doc_id", "text",
+                            ctx_len=2048, n_groups=256, seed="scale")
+    def run_once():
+        t0 = time.time()
+        out_df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
 else:
     raise SystemExit(f"unknown job {job}")
 run_once(); run_once()  # 2 warmups: C2 needs several full passes over the
@@ -138,6 +155,25 @@ def run_job(job: str, rows: int, corpus: str, label: str) -> dict:
 
 
 def main():
+    # `--append-packing <artifact>`: measure ONLY the round-6 packing job
+    # (at ROWS rows) and append it to an existing artifact's jobs list —
+    # the flagship/LSH numbers in that artifact stay authoritative.
+    if "--append-packing" in sys.argv:
+        target = sys.argv[sys.argv.index("--append-packing") + 1]
+        packing = run_job(
+            "packing", ROWS, f"/tmp/jss_scaling_corpus_{ROWS}",
+            "sequence packing (pack_group hash exchange + in-partition "
+            "sort + running-sum window, 256 groups)")
+        art = json.load(open(target))
+        art["jobs"] = [j for j in art.get("jobs", [])
+                       if not j["job"].startswith("sequence packing")]
+        art["jobs"].append(packing)
+        with open(target, "w") as f:
+            json.dump(art, f, indent=2)
+            f.write("\n")
+        print(json.dumps(packing, indent=2))
+        return
+
     flagship = run_job(
         "flagship", ROWS, CORPUS,
         "corpus flagship validation (columnar tier) + per-repo verdict rollup")
