@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_stratified_sample": q52_stratified_sample,
         "q53_sequence_packing": q53_sequence_packing,
         "q54_mixture_budget": q54_mixture_budget,
+        "q55_dup_spans": q55_dup_spans,
     }
 
 
@@ -1304,6 +1305,30 @@ def q54_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_mixture_sample(
         docs, "doc_id", "source", "n_chars", 0.5 * total,
         weights={"src0": 3.0, "src1": 2.0}, seed="jss-q54")
+
+
+def q55_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (round 6) — the ExactSubstr dedup
+    signal (Lee et al. 2022) at the substring level: every document emits
+    its 64-char spans at stride 16, a span is duplicated when its content
+    occurs >= 2 times corpus-wide, and each doc is scored by its
+    duplicated-span fraction plus the stricter cross-document count.
+    Catches the partially-copied doc (license header + unique body) that
+    whole-document dedup (q16) and near-dup (q17/q38) both miss. The
+    corpus has genuine signal here: ~9% of sf0.01 spans are duplicated,
+    with per-doc fractions spanning 0 -> 1. Plan: one explode projection
+    (spans leave the scan as 8-byte xxhash64 rows), ONE partial-agged
+    shuffle to the duplicated-hash side (``HAVING count > 1`` keeps the
+    join side small), one shuffle join + per-doc aggregation — no Python,
+    no driver data. The DuckDB oracle re-derives it from the raw
+    substrings themselves (unnest(range) + GROUP BY span + HAVING +
+    join), sharing neither the hash function nor any machinery."""
+    from json_schemer_spark.operators.dedup import dup_span_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_span_features(
+        docs, "text", "doc_id", span_len=64, stride=16,
+        max_dup_fraction=0.5)
 
 
 def _ensure_oracle_caches() -> None:
@@ -2351,5 +2376,41 @@ def oracle_sql() -> dict[str, str]:
                 + (STRPOS('0123456789abcdef', SUBSTR(hx, 7, 1)) - 1) * 16
                 + (STRPOS('0123456789abcdef', SUBSTR(hx, 8, 1)) - 1)
                 < CAST(FLOOR(keep_fraction * 4294967296.0) AS BIGINT)
+        """,
+        "q55_dup_spans": r"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 64
+            ),
+            p AS (
+                SELECT doc_id,
+                       UNNEST(RANGE(1, LENGTH(text) - 64 + 2, 16)) AS pos,
+                       text
+                FROM d
+            ),
+            s AS (
+                SELECT doc_id, SUBSTR(text, CAST(pos AS INT), 64) AS span
+                FROM p
+            ),
+            dup AS (
+                SELECT span, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS docs
+                FROM s GROUP BY span HAVING COUNT(*) > 1
+            ),
+            j AS (
+                SELECT s.doc_id, dup.c, dup.docs
+                FROM s LEFT JOIN dup ON s.span = dup.span
+            ),
+            pd AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_spans,
+                       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS dup_spans,
+                       CAST(SUM(CASE WHEN docs > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cross_doc_dup_spans
+                FROM j GROUP BY doc_id
+            )
+            SELECT doc_id, n_spans, dup_spans, cross_doc_dup_spans,
+                   ROUND(dup_spans * 1.0 / n_spans, 6) AS dup_fraction,
+                   (dup_spans * 1.0 / n_spans) <= 0.5 AS keep
+            FROM pd
         """,
     }

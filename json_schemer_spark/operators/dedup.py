@@ -676,3 +676,97 @@ def neardup_dedup_lsh(
         )
         .drop("__head")
     )
+
+
+def dup_span_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_len: int = 64,
+    stride: int = 16,
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-level dedup signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr pass), re-expressed for Spark: instead of a
+    global suffix array (inherently sequential to build), every document
+    emits its fixed-length character spans at ``stride`` offsets, a span
+    is *duplicated* when its content occurs >= 2 times anywhere in the
+    corpus, and each document is scored by the fraction of its spans that
+    are duplicated. Complements the document-level family above (exact /
+    MinHash / SimHash): a doc that is 40% copy-pasted license header +
+    60% unique code is untouched by whole-doc dedup but lights up here.
+
+    Returns one row per document with >= 1 span (``length(text) >=
+    span_len``; shorter docs have no span signal by contract):
+    ``(id, n_spans, dup_spans, cross_doc_dup_spans, dup_fraction, keep)``
+    where ``cross_doc_dup_spans`` counts spans seen in >= 2 *distinct*
+    documents (a stricter signal: same-doc repetition is the
+    repetition-filter family's job) and ``keep = dup_fraction <=
+    max_dup_fraction`` on the un-rounded ratio.
+
+    Plan shape (all-JVM, no Python anywhere):
+      1. one projection: ``sequence(1, len-L+1, stride)`` -> explode ->
+         ``xxhash64(substr(text, pos, L))`` — spans leave the scan as
+         (id, 8-byte hash) rows, ~len/stride per doc; ``stride`` is the
+         knob that bounds the blow-up (stride = L/4 here; stride = 1
+         recovers the full suffix-array signal at L x the shuffle).
+      2. ONE partial-aggregated shuffle on the span hash: groupBy(h) ->
+         (count, distinct docs), then ``HAVING count > 1`` — map-side
+         combine collapses hot spans (the boilerplate header that appears
+         10^7 times ships once per map task, not 10^7 times), and the
+         filter means only *duplicated* hashes flow into the join, a far
+         smaller side than the span stream.
+      3. one shuffle join spans-vs-duplicated-hashes (left), AQE
+         skew-split if one hash still dominates, then one partial-agged
+         hash aggregation back to a row per document.
+    At 10^12 docs nothing here is driver-side or all-pairs; collisions in
+    the 64-bit span hash are the standard, quantifiable trade (~n^2/2^65).
+    """
+    text = F.col(text_col)
+    spans = (
+        df.where(F.length(text) >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length(text) - F.lit(span_len - 1),
+                    F.lit(stride),
+                )
+            ).alias("__pos"),
+            text.alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                F.col("__t").substr(F.col("__pos"), F.lit(span_len))
+            ).alias("__h"),
+        )
+    )
+    dup_hashes = (
+        spans.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.count_distinct(F.col(id_col)).alias("__docs"),
+        )
+        .where(F.col("__c") > 1)
+    )
+    flagged = spans.join(dup_hashes, "__h", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias("dup_spans"),
+        F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0)).alias(
+            "cross_doc_dup_spans"
+        ),
+    )
+    ratio = F.col("dup_spans") / F.col("n_spans")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_spans"),
+        F.col("dup_spans"),
+        F.col("cross_doc_dup_spans"),
+        F.round(ratio, 6).alias("dup_fraction"),
+        (ratio <= F.lit(max_dup_fraction)).alias("keep"),
+    )

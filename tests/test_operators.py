@@ -1478,3 +1478,34 @@ def test_budget_mixture_sample(spark):
     with _pytest.raises(ValueError):
         budget_mixture_sample(df, "k", "src", "sz", 1.0,
                               weights={"s0": -0.5})
+
+
+def test_dup_span_features(spark):
+    """Round 6: ExactSubstr span dedup — hand-computed dup/cross-doc
+    counts, short docs emit no row, same-doc repeats are dup but NOT
+    cross-doc, and the plan stays all-JVM."""
+    from json_schemer_spark.operators.dedup import dup_span_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),   # spans @1,3,5: abcd cdef efgh
+            (2, "abcdxyzw"),   # spans: abcd cdxy xyzw — shares abcd with 1
+            (3, "ababab"),     # spans @1,3: abab abab — same-doc dup only
+            (4, "zz"),         # too short: no spans, no output row
+        ],
+        "doc_id int, text string",
+    )
+    out = dup_span_features(
+        docs, "text", "doc_id", span_len=4, stride=2, max_dup_fraction=0.5
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        r = rows[d]
+        assert (r.n_spans, r.dup_spans, r.cross_doc_dup_spans) == (3, 1, 1)
+        assert r.dup_fraction == 0.333333 and r.keep is True
+    r3 = rows[3]
+    assert (r3.n_spans, r3.dup_spans, r3.cross_doc_dup_spans) == (2, 2, 0)
+    assert r3.dup_fraction == 1.0 and r3.keep is False
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
