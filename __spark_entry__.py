@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_sequence_packing": q53_sequence_packing,
         "q54_mixture_budget": q54_mixture_budget,
         "q55_dup_spans": q55_dup_spans,
+        "q56_bm25_topk": q56_bm25_topk,
     }
 
 
@@ -1329,6 +1330,27 @@ def q55_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_features(
         docs, "text", "doc_id", span_len=64, stride=16,
         max_dup_fraction=0.5)
+
+
+def q56_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (round 6) — top-15 documents for the probe
+    query ``fast table scan zzzunseen`` under classic Okapi BM25
+    (k1=1.2, b=0.75, the +1 idf form). The absent term exercises the
+    set-query contract (it contributes to no document); k=15 is far
+    below the ~500 matching docs so the oracle grades the top-k cut and
+    the tie-break, not just the scoring formula. Plan: query terms
+    pruned inside the scan projection (the per-doc term stream only
+    ever carries query terms), document frequencies (<= 4 rows) and the
+    one-row corpus stats both BROADCAST, final top-k is a
+    TakeOrderedAndProject — no global sort, no driver data. The DuckDB
+    oracle re-derives tokenization, df/idf, the length normalization
+    and the cut with the same operation order."""
+    from json_schemer_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(
+        docs, "text", "doc_id",
+        ["fast", "table", "scan", "zzzunseen"], k=15)
 
 
 def _ensure_oracle_caches() -> None:
@@ -2412,5 +2434,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(dup_spans * 1.0 / n_spans, 6) AS dup_fraction,
                    (dup_spans * 1.0 / n_spans) <= 0.5 AS keep
             FROM pd
+        """,
+        "q56_bm25_topk": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t != '') AS toks
+                FROM documents
+            ),
+            base AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+            tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM tok
+                WHERE term IN ('fast', 'scan', 'table', 'zzzunseen')
+                GROUP BY doc_id, dl, term
+            ),
+            dfq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY term),
+            sc AS (
+                -- identical double-op order to the Spark plan:
+                -- ln(1 + (N-df+0.5)/(df+0.5)) * tf * (k1+1)
+                --   / (tf + k1*((1-b) + b*dl/avgdl))
+                SELECT tf.doc_id,
+                       LN(1.0 + (stats.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                           AS s
+                FROM tf JOIN dfq USING (term), stats
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_terms, SUM(s) AS raw
+                FROM sc GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms, ROUND(raw, 6) AS score
+            FROM agg
+            ORDER BY raw DESC, doc_id
+            LIMIT 15
         """,
     }

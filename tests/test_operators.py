@@ -1509,3 +1509,44 @@ def test_dup_span_features(spark):
     assert r3.dup_fraction == 1.0 and r3.keep is False
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_bm25_topk(spark):
+    """Round 6: BM25 retrieval — scores match the Okapi formula computed
+    by hand-written Python math, no-match docs are unranked, the top-k
+    cut + tie-break are deterministic, and the plan broadcasts the
+    df/stats sides with no Python."""
+    import math
+
+    from json_schemer_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id int, text string",
+    )
+    out = bm25_topk(docs, "text", "doc_id", ["apple", "banana"], k=2)
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+
+    def idf(n, df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def term(n, df, tf, dl, avgdl, k1=1.2, b=0.75):
+        return idf(n, df) * tf * (k1 + 1.0) / (
+            tf + k1 * ((1.0 - b) + b * dl / avgdl)
+        )
+
+    exp1 = term(3, 1, 2, 3, 2.0) + term(3, 2, 1, 3, 2.0)
+    exp2 = term(3, 2, 1, 2, 2.0)
+    assert rows[0].n_terms == 2 and abs(rows[0].score - exp1) < 2e-6
+    assert rows[1].n_terms == 1 and abs(rows[1].score - exp2) < 2e-6
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "Broadcast" in plan          # df + stats sides never shuffle
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "text", "doc_id", ["apple"], k=0)
