@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_mixture_budget": q54_mixture_budget,
         "q55_dup_spans": q55_dup_spans,
         "q56_bm25_topk": q56_bm25_topk,
+        "q57_bpe_merges": q57_bpe_merges,
     }
 
 
@@ -1351,6 +1352,83 @@ def q56_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, "text", "doc_id",
         ["fast", "table", "scan", "zzzunseen"], k=15)
+
+
+def q57_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (round 6) — learn the first 8
+    byte-pair-encoding merges (Sennrich et al. 2016) over the corpus:
+    the tokenizer-TRAINING step behind q15/q28's counting and q48's
+    candidate vocabulary. One corpus-sized partial-agged shuffle builds
+    the distinct-word frequency table; each merge iteration is one pass
+    over that (persisted) table — pair counts partial-agg map-side and
+    only the ONE argmax row (the learned parameter) reaches the driver,
+    the same contract as the IVF k-means centroids. Merge application
+    is a single JVM string replace over a boundary-wrapped symbol
+    encoding (leftmost non-overlapping replace IS BPE's application
+    order). The DuckDB oracle replays all 8 iterations as a generated
+    CTE chain — pair counting, argmax tie-break, and merge application
+    re-derived per level with DuckDB's own primitives."""
+    from json_schemer_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_train(docs, "text", n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """The q57 oracle: an n_merges-level CTE chain mirroring BPE's
+    recurrence (pair counts -> argmax -> leftmost-nonoverlap merge
+    apply), generated mechanically so the level count always matches
+    the query's n_merges. Independent machinery throughout: DuckDB
+    regexp/list/string primitives, its own argmax and replace."""
+    q = [r"""
+            WITH w0 AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+                       regexp_replace(word, '(.)',
+                                      chr(31)||'\1'||chr(31), 'g') AS s
+                FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        t -> t != '')) AS word
+                    FROM documents
+                )
+                WHERE NOT contains(word, chr(31))
+                GROUP BY word
+            )"""]
+    for i in range(1, n_merges + 1):
+        q.append(f"""
+            , p{i} AS (
+                SELECT sym[CAST(j AS INT)] AS l,
+                       sym[CAST(j AS INT)+1] AS r,
+                       CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (
+                    SELECT freq, unnest(range(1, len(sym))) AS j, sym
+                    FROM (
+                        SELECT freq,
+                               string_split(substr(s, 2, length(s)-2),
+                                            chr(31)||chr(31)) AS sym
+                        FROM w{i-1}
+                    )
+                )
+                GROUP BY l, r
+            )
+            , m{i} AS (
+                SELECT l, r, cnt FROM p{i}
+                ORDER BY cnt DESC, l, r LIMIT 1
+            )
+            , w{i} AS (
+                SELECT freq,
+                       replace(s,
+                               chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                               chr(31)||l||r||chr(31)) AS s
+                FROM w{i-1}, m{i}
+            )""")
+    q.append("".join(
+        ("            UNION ALL " if i > 1 else "\n            ")
+        + f"SELECT CAST({i} AS INT) AS rank, l AS left_sym, "
+          f"r AS right_sym, cnt AS pair_count FROM m{i}\n"
+        for i in range(1, n_merges + 1)
+    ))
+    return "".join(q)
 
 
 def _ensure_oracle_caches() -> None:
@@ -2473,4 +2551,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY raw DESC, doc_id
             LIMIT 15
         """,
+        "q57_bpe_merges": _bpe_oracle_sql(8),
     }

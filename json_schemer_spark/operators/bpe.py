@@ -1,0 +1,110 @@
+"""Distributed BPE merge training — learn the byte-pair-encoding merge
+table (Sennrich et al. 2016) over a corpus, the tokenizer-TRAINING step
+that `text.bpe_token_count` (counting) and `vocab_stats` (the candidate
+vocabulary) lead up to.
+
+Classic BPE trains on the *distinct-word frequency table*, not the raw
+token stream — so the ONE corpus-sized shuffle here is the initial
+partial-aggregated word count; every merge iteration afterwards runs
+over the (much smaller, persisted) distinct-word table. At web scale
+that table is ~10^8-10^9 rows: each iteration is one exchange-free pass
+(the pair-count aggregation partial-aggs map-side, and the argmax that
+reaches the driver is ONE row — the learned parameter itself, the same
+contract as the IVF k-means centroids in operators/similarity.py).
+
+Symbol sequences are encoded as wrapped strings — every symbol is
+``SEP + sym + SEP`` concatenated — so applying a merge is a single JVM
+``replace(s, SEP+l+SEP+SEP+r+SEP, SEP+lr+SEP)``: string replace is
+leftmost non-overlapping, which is exactly BPE's application order, and
+the double-separator boundary makes a false sub-symbol match (merging
+``(b, c)`` inside ``[ab, c]``) impossible. No Python runs anywhere; the
+driver loop only collects the n_merges argmax rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: unit separator — outside every printable alphabet; tokens containing
+#: it are dropped (defensive: it would break the wrapped encoding).
+SEP = "\x1f"
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus in ``text_col``.
+
+    Returns the merge table as a DataFrame
+    ``(rank int, left_sym string, right_sym string, pair_count long)``
+    — rank 1 is the first (highest-count) merge; ties break on
+    ``(left_sym, right_sym)`` lexicographically so training is
+    deterministic. Stops early (fewer rows) if the corpus runs out of
+    adjacent pairs before ``n_merges``.
+
+    Tokenization matches :func:`text.tokens` (lowercased whitespace
+    split) so the learned merges speak the same vocabulary as
+    q48/q15/q56.
+    """
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    from json_schemer_spark.operators.text import tokens
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.regexp_replace("word", "(.)", SEP + "$1" + SEP).alias("s"),
+        )
+    )
+    merges = []
+    prev = None
+    try:
+        for rank in range(1, n_merges + 1):
+            words = words.persist()
+            sym = F.split(
+                F.expr("substring(s, 2, length(s)-2)"), SEP + SEP
+            )
+            pairs = (
+                words.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(sym, 1, F.size(sym) - 1),
+                            F.slice(sym, 2, F.size(sym) - 1),
+                            lambda l, r: F.struct(
+                                l.alias("l"), r.alias("r")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            best = (
+                pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev = words
+            if not best:
+                break
+            l, r, cnt = best[0].l, best[0].r, best[0].cnt
+            merges.append((rank, l, r, int(cnt)))
+            words = words.select(
+                "freq",
+                F.replace(
+                    F.col("s"),
+                    F.lit(SEP + l + SEP + SEP + r + SEP),
+                    F.lit(SEP + l + r + SEP),
+                ).alias("s"),
+            )
+    finally:
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count long"
+    )

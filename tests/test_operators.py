@@ -1550,3 +1550,33 @@ def test_bm25_topk(spark):
         bm25_topk(docs, "text", "doc_id", [])
     with pytest.raises(ValueError):
         bm25_topk(docs, "text", "doc_id", ["apple"], k=0)
+
+
+def test_bpe_train(spark):
+    """Round 6: BPE merge training — the classic Sennrich walkthrough
+    hand-computed (ties break lexicographically, merged symbols re-pair
+    in later iterations), early exhaustion returns fewer rows, and
+    training is deterministic."""
+    from json_schemer_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [("low low low",), ("lower lower",), ("newest",)], "text string"
+    )
+    out = bpe_train(docs, "text", n_merges=4)
+    got = [(r.rank, r.left_sym, r.right_sym, r.pair_count)
+           for r in out.orderBy("rank").collect()]
+    assert got == [
+        (1, "l", "o", 5),      # (l,o) and (o,w) tie at 5: lexicographic
+        (2, "lo", "w", 5),     # the merged symbol re-pairs
+        (3, "e", "r", 2),      # (e,r) vs (low,e) tie at 2
+        (4, "low", "er", 2),
+    ]
+    again = [(r.rank, r.left_sym, r.right_sym, r.pair_count)
+             for r in bpe_train(docs, "text", n_merges=4)
+             .orderBy("rank").collect()]
+    assert got == again
+    # pair exhaustion: single-char words stop training at 0 merges
+    single = spark.createDataFrame([("a a b",)], "text string")
+    assert bpe_train(single, "text", n_merges=3).count() == 0
+    with pytest.raises(ValueError):
+        bpe_train(docs, "text", n_merges=0)
