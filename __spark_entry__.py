@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_dup_spans": q55_dup_spans,
         "q56_bm25_topk": q56_bm25_topk,
         "q57_bpe_merges": q57_bpe_merges,
+        "q58_asof_join": q58_asof_join,
+        "q59_sessionize": q59_sessionize,
     }
 
 
@@ -1372,6 +1374,57 @@ def q57_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return bpe_train(docs, "text", n_merges=8)
+
+
+def q58_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (round 6) — the brief's canonical
+    custom-operator example: every click event gains the most recent
+    purchase at-or-before it by the same user (nulls when none).
+    Implemented as the union-window form (operators/temporal.asof_join):
+    tag sides, union, ONE shuffle on user_id, in-partition sort by
+    (ts, side), running last(right_row, ignorenulls) — never the naive
+    range join that explodes to O(|L|x|R|) per key under Catalyst.
+    Matched right columns ride one struct, so they come from one row
+    atomically. Timestamps exported as unix microseconds (BIGINT) for
+    engine-exact comparison. The DuckDB oracle is its NATIVE ASOF LEFT
+    JOIN — the strongest possible independent check of the semantics."""
+    from json_schemer_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    j = asof_join(clicks, purch, ["user_id"], "ts", ["value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.date_format("ts_asof", fmt).alias("purchase_ts"),
+        F.col("value_asof").alias("purchase_value"))
+
+
+def q59_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (round 6) — per-user sessions split on
+    >4h inactivity (the corpus's per-user event spacing averages ~57
+    min, so the threshold yields a real mix of single- and multi-event
+    sessions), then per-session rollup: start/end (unix micros), event
+    count, value total. One exchange on user_id: the lag-gap flag and
+    the running session counter share the window sort, and the
+    per-(user, session) aggregation needs NO second exchange —
+    HashPartitioning(user) already satisfies the (user, session)
+    clustered distribution. The DuckDB oracle re-derives the lag/
+    cumulative-sum recurrence and the rollup with its own windows."""
+    from json_schemer_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=14400)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.groupBy("user_id", "session_index").agg(
+        F.date_format(F.min("ts"), fmt).alias("session_start"),
+        F.date_format(F.max("ts"), fmt).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"))
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
@@ -2552,4 +2605,49 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "q57_bpe_merges": _bpe_oracle_sql(8),
+        "q58_asof_join": r"""
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            purch AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   p.value AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "q59_sessionize": r"""
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 14400 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - 1 AS BIGINT)
+                           AS session_index
+                FROM g
+            )
+            SELECT user_id, session_index,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM s
+            GROUP BY user_id, session_index
+        """,
     }

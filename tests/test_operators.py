@@ -1580,3 +1580,68 @@ def test_bpe_train(spark):
     assert bpe_train(single, "text", n_merges=3).count() == 0
     with pytest.raises(ValueError):
         bpe_train(docs, "text", n_merges=0)
+
+
+def test_asof_join(spark):
+    """Round 6: backward as-of join — <= tie matching, per-key isolation,
+    null for no prior right row, atomic matched-row semantics (a null
+    field in the matched row must NOT fall back to an older row), and a
+    single-exchange no-Python plan."""
+    from json_schemer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "d")],
+        "user int, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 25, None), (3, 1, 999.0)],
+        "user int, ts long, value double",
+    )
+    out = asof_join(left, right, ["user"], "ts", ["value"])
+    rows = {(r.user, r.ts): r for r in out.collect()}
+    assert len(rows) == 4
+    assert (rows[(1, 10)].ts_asof, rows[(1, 10)].value_asof) == (10, 100.0)
+    assert (rows[(1, 20)].ts_asof, rows[(1, 20)].value_asof) == (10, 100.0)
+    # matched row (ts=25) has a NULL value: must stay NULL, never fall
+    # back to ts=10's 100.0
+    assert (rows[(1, 30)].ts_asof, rows[(1, 30)].value_asof) == (25, None)
+    assert (rows[(2, 5)].ts_asof, rows[(2, 5)].value_asof) == (None, None)
+    assert rows[(1, 30)].tag == "c"  # left columns survive intact
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    # one shuffle on the key (count the AQE final plan only — the
+    # toString repeats the exchange in the "Initial Plan" section)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 1
+
+
+def test_sessionize(spark):
+    """Round 6: gap sessionization — hand-built gaps split exactly at
+    > gap_seconds, indexes are 0-based per key, and timestamps work in
+    both NTZ and tz flavors via interval arithmetic."""
+    import datetime as dt
+
+    from json_schemer_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [("a", at(0)), ("a", at(10)), ("a", at(130)), ("b", at(5))],
+        "user string, ts timestamp",
+    )
+    out = sessionize(df, "user", "ts", gap_seconds=3600)
+    got = {(r.user, r.ts.minute + 60 * r.ts.hour): r.session_index
+           for r in out.collect()}
+    assert got == {("a", 0): 0, ("a", 10): 0, ("a", 130): 1, ("b", 5): 0}
+    # exactly-at-gap does NOT split (strict >)
+    df2 = spark.createDataFrame(
+        [("a", at(0)), ("a", at(60))], "user string, ts timestamp"
+    )
+    idx = sorted(r.session_index
+                 for r in sessionize(df2, "user", "ts", 3600).collect())
+    assert idx == [0, 0]
+    with pytest.raises(ValueError):
+        sessionize(df, "user", "ts", 0)
