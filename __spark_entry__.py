@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_bpe_merges": q57_bpe_merges,
         "q58_asof_join": q58_asof_join,
         "q59_sessionize": q59_sessionize,
+        "q60_bpe_encode": q60_bpe_encode,
     }
 
 
@@ -1427,12 +1428,32 @@ def q59_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("total_value"))
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """The q57 oracle: an n_merges-level CTE chain mirroring BPE's
-    recurrence (pair counts -> argmax -> leftmost-nonoverlap merge
-    apply), generated mechanically so the level count always matches
-    the query's n_merges. Independent machinery throughout: DuckDB
-    regexp/list/string primitives, its own argmax and replace."""
+def q60_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (round 6) — the train->encode composition:
+    q57's 8 learned merges (an 8-row driver collect — the model
+    parameters) applied to every document as a chain of 8 JVM replaces
+    on ONE boundary-wrapped string column: narrow per-row projection,
+    no shuffle, no Python, regardless of merge count. Returns each
+    doc's BPE token count under the learned vocabulary (the number a
+    dataloader budget needs) and the full segmentation. The DuckDB
+    oracle re-derives the TRAINING chain and then replays the encode
+    levels itself — train and apply both graded end to end."""
+    from json_schemer_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merge_rows = bpe_train(docs, "text", n_merges=8).orderBy("rank").collect()
+    merges = [(r.left_sym, r.right_sym) for r in merge_rows]
+    return bpe_encode(docs, "text", merges).select(
+        "doc_id", "n_symbols", "segmented")
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """The shared q57/q60 oracle prefix: an n_merges-level CTE chain
+    mirroring BPE training's recurrence (pair counts -> argmax ->
+    leftmost-nonoverlap merge apply), generated mechanically so the
+    level count always matches the query's n_merges. Independent
+    machinery throughout: DuckDB regexp/list/string primitives, its
+    own argmax and replace."""
     q = [r"""
             WITH w0 AS (
                 SELECT CAST(COUNT(*) AS BIGINT) AS freq,
@@ -1475,12 +1496,58 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                                chr(31)||l||r||chr(31)) AS s
                 FROM w{i-1}, m{i}
             )""")
-    q.append("".join(
+    return "".join(q)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """q57: the training CTEs + the merge-table projection."""
+    return _bpe_train_ctes(n_merges) + "".join(
         ("            UNION ALL " if i > 1 else "\n            ")
         + f"SELECT CAST({i} AS INT) AS rank, l AS left_sym, "
           f"r AS right_sym, cnt AS pair_count FROM m{i}\n"
         for i in range(1, n_merges + 1)
-    ))
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """q60: the training CTEs, then the learned merges applied to every
+    DOCUMENT — each level cross-joins the 1-row m{i} and replays the
+    boundary-wrapped leftmost-nonoverlap replace on the doc string."""
+    q = [_bpe_train_ctes(n_merges), r"""
+            , d0 AS (
+                SELECT doc_id, array_to_string(
+                    list_transform(
+                        list_filter(
+                            regexp_split_to_array(lower(trim(text)),
+                                                  '\s+'),
+                            t -> t != '' AND NOT contains(t, chr(31))),
+                        w -> regexp_replace(w, '(.)',
+                                            chr(31)||'\1'||chr(31),
+                                            'g')),
+                    chr(30)) AS s
+                FROM documents
+            )"""]
+    for i in range(1, n_merges + 1):
+        q.append(f"""
+            , d{i} AS (
+                SELECT doc_id,
+                       replace(s,
+                               chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                               chr(31)||l||r||chr(31)) AS s
+                FROM d{i-1}, m{i}
+            )""")
+    q.append(rf"""
+            SELECT doc_id,
+                   CAST(len(sym) AS INT) AS n_symbols,
+                   array_to_string(sym, ' ') AS segmented
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(s, '[\x1E\x1F]+'),
+                           x -> x != '') AS sym
+                FROM d{n_merges}
+            )
+        """)
     return "".join(q)
 
 
@@ -2605,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "q57_bpe_merges": _bpe_oracle_sql(8),
+        "q60_bpe_encode": _bpe_encode_oracle_sql(8),
         "q58_asof_join": r"""
             WITH clicks AS (
                 SELECT event_id, user_id, ts FROM events

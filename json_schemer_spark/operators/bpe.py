@@ -108,3 +108,57 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, pair_count long"
     )
+
+
+#: word-boundary marker in the whole-document wrapped encoding — merges
+#: search for SEP+l+SEP+SEP+r+SEP, which can never span this byte, so a
+#: single chained replace per merge applies BPE to every word at once.
+WORD_SEP = "\x1e"
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    *,
+    out_col: str = "segmented",
+) -> DataFrame:
+    """Apply a learned merge table (``bpe_train`` output collected to a
+    list of ``(left_sym, right_sym)`` in rank order) to every document.
+
+    Adds ``n_symbols`` (int — the document's BPE token count under this
+    vocabulary, the number a dataloader budget actually needs) and
+    ``out_col`` (the symbol sequence joined by single spaces). The whole
+    document is one wrapped string — words joined by a boundary byte the
+    merge patterns cannot span — so applying M merges is a chain of M
+    JVM ``replace`` calls on ONE column: a narrow per-row projection, no
+    shuffle, no Python, whatever M is. Word-internal order semantics are
+    identical to training (leftmost non-overlapping per merge, merges in
+    rank order), so encode(train corpus) reproduces training's final
+    symbol state.
+    """
+    from json_schemer_spark.operators.text import tokens
+
+    words = F.filter(
+        tokens(F.col(text_col)), lambda w: ~w.contains(SEP)
+    )
+    wrapped = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.regexp_replace(w, "(.)", SEP + "$1" + SEP),
+        ),
+        WORD_SEP,
+    )
+    col = wrapped
+    for left, right in merges:
+        col = F.replace(
+            col,
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + left + right + SEP),
+        )
+    symbols = F.filter(
+        F.split(col, f"[{WORD_SEP}{SEP}]+"), lambda s: s != ""
+    )
+    return df.withColumn("n_symbols", F.size(symbols)).withColumn(
+        out_col, F.array_join(symbols, " ")
+    )

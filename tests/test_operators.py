@@ -1645,3 +1645,27 @@ def test_sessionize(spark):
     assert idx == [0, 0]
     with pytest.raises(ValueError):
         sessionize(df, "user", "ts", 0)
+
+
+def test_bpe_encode(spark):
+    """Round 6: BPE apply — hand-computed segmentation under a given
+    merge list, word boundaries never merge across, and the plan is a
+    shuffle-free narrow projection."""
+    from json_schemer_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "  "), (3, "olo olo")],
+        "doc_id int, text string",
+    )
+    out = bpe_encode(docs, "text", [("l", "o"), ("lo", "w")])
+    rows = {r.doc_id: r for r in out.collect()}
+    # low -> [low]; lower -> [low,e,r]; newest -> 6 chars
+    assert rows[1].n_symbols == 10
+    assert rows[1].segmented == "low low e r n e w e s t"
+    assert rows[2].n_symbols == 0 and rows[2].segmented == ""
+    # (l,o) inside "olo": leftmost scan hits o,l first (no match), then
+    # l,o -> merged; the trailing o of one word never merges with the
+    # leading l of the next
+    assert rows[3].segmented == "o lo o lo"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
