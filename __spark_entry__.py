@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_asof_join": q58_asof_join,
         "q59_sessionize": q59_sessionize,
         "q60_bpe_encode": q60_bpe_encode,
+        "q61_snapshot_diff": q61_snapshot_diff,
     }
 
 
@@ -1445,6 +1446,32 @@ def q60_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(r.left_sym, r.right_sym) for r in merge_rows]
     return bpe_encode(docs, "text", merges).select(
         "doc_id", "n_symbols", "segmented")
+
+
+def q61_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (round 6) — the incremental-validation
+    primitive: old = the documents table; new = a deterministic
+    re-crawl derived in-plan (doc_id % 7 == 0 deleted, % 5 == 0 edited
+    — with the %35 overlap exercising delete-wins — plus 50 brand-new
+    ids). Emits ONLY added/removed/changed keys with both content
+    hashes: one md5 projection per side inside the scan, one
+    key-partitioned full-outer sort-merge join, unchanged rows dropped
+    before any consumer — output is O(delta), never O(corpus). The
+    DuckDB oracle rebuilds the same new snapshot and re-derives the
+    delta with its own FULL OUTER JOIN."""
+    from json_schemer_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" [edited]")))
+         .otherwise(F.col("text")).alias("text"))
+    added = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(10000)).alias("doc_id"),
+        F.concat(F.lit("new crawl: "), F.col("text")).alias("text"))
+    new = edited.unionByName(added)
+    return snapshot_diff(docs, new, ["doc_id"], ["text"])
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -2673,6 +2700,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q57_bpe_merges": _bpe_oracle_sql(8),
         "q60_bpe_encode": _bpe_encode_oracle_sql(8),
+        "q61_snapshot_diff": r"""
+            WITH old AS (
+                SELECT doc_id, md5(COALESCE(text, '')) AS old_md5
+                FROM documents
+            ),
+            new_snap AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' [edited]' ELSE text END AS text
+                FROM documents WHERE doc_id % 7 != 0
+                UNION ALL
+                SELECT doc_id + 10000, 'new crawl: ' || text
+                FROM documents WHERE doc_id < 50
+            ),
+            new_h AS (
+                SELECT doc_id, md5(COALESCE(text, '')) AS new_md5
+                FROM new_snap
+            ),
+            j AS (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       o.old_md5, n.new_md5
+                FROM old o FULL OUTER JOIN new_h n USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN old_md5 IS NULL THEN 'added'
+                        WHEN new_md5 IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   old_md5, new_md5
+            FROM j
+            WHERE old_md5 IS NULL OR new_md5 IS NULL
+               OR old_md5 != new_md5
+        """,
         "q58_asof_join": r"""
             WITH clicks AS (
                 SELECT event_id, user_id, ts FROM events

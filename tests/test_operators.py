@@ -1669,3 +1669,29 @@ def test_bpe_encode(spark):
     assert rows[3].segmented == "o lo o lo"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_snapshot_diff(spark):
+    """Round 6: snapshot diff — added/removed/changed classification,
+    unchanged rows dropped, multi-column content hashing with null
+    handling, no Python in the plan."""
+    from json_schemer_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id int, txt string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),          # unchanged -> absent from output
+         (2, "B", 2.0),          # changed
+         (3, "c", 3.0),          # changed (null -> value)
+         (5, "e", 5.0)],         # added; 4 removed
+        "id int, txt string, v double",
+    )
+    out = snapshot_diff(old, new, ["id"], ["txt", "v"])
+    got = {r.id: r.status for r in out.collect()}
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[5].old_md5 is None and rows[4].new_md5 is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
