@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_sessionize": q59_sessionize,
         "q60_bpe_encode": q60_bpe_encode,
         "q61_snapshot_diff": q61_snapshot_diff,
+        "q62_topk_per_group": q62_topk_per_group,
     }
 
 
@@ -1472,6 +1473,22 @@ def q61_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("new crawl: "), F.col("text")).alias("text"))
     new = edited.unionByName(added)
     return snapshot_diff(docs, new, ["doc_id"], ["text"])
+
+
+def q62_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k selection (round 6) — the 5 longest documents per
+    (source, lang) cell by n_chars, doc_id tie-break: the "best N per
+    domain" cut every curation pipeline ends with. Written so Spark's
+    WindowGroupLimit optimization applies (plan-asserted in tests): a
+    partial top-k runs map-side BEFORE the exchange, so bytes shuffled
+    are O(groups x k x tasks), never the corpus. The DuckDB oracle
+    re-derives it with its own ROW_NUMBER window."""
+    from json_schemer_spark.operators.stats import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars")
+    return top_k_per_group(
+        docs, ["source", "lang"], "n_chars", 5, tie_col="doc_id")
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -2731,6 +2748,17 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE old_md5 IS NULL OR new_md5 IS NULL
                OR old_md5 != new_md5
+        """,
+        "q62_topk_per_group": r"""
+            SELECT doc_id, source, lang, n_chars, rank FROM (
+                SELECT doc_id, source, lang, n_chars,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source, lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS INT)
+                           AS rank
+                FROM documents
+            )
+            WHERE rank <= 5
         """,
         "q58_asof_join": r"""
             WITH clicks AS (

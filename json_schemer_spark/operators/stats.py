@@ -163,3 +163,30 @@ def hll_merge_profiles(*profiles):
         .agg(F.hll_union_agg("sketch").alias("sketch"))
         .select("column", "sketch", F.hll_sketch_estimate("sketch").alias("estimate"))
     )
+
+
+def top_k_per_group(df, group_cols, order_col, k, *, descending=True,
+                    tie_col=None, rank_col="rank"):
+    """Top-``k`` rows per group — the "best N documents per source /
+    per domain / per language" selection every curation pipeline ends
+    with. Window ``row_number`` + filter, written so Spark's
+    WindowGroupLimit optimization applies: a PARTIAL top-k runs on the
+    map side before the exchange (each task keeps only k rows per group
+    it sees), so bytes shuffled are O(groups x k x tasks), never the
+    corpus — the distributed form of a per-group heap. ``tie_col``
+    makes the cut deterministic (required for oracle-exact results when
+    ``order_col`` has duplicates)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

@@ -1695,3 +1695,25 @@ def test_snapshot_diff(spark):
     assert rows[5].old_md5 is None and rows[4].new_md5 is None
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_top_k_per_group(spark):
+    """Round 6: per-group top-k — correct cut + deterministic tie-break,
+    and the executed plan carries Spark's WindowGroupLimit (the map-side
+    partial top-k that keeps shuffle bytes O(groups x k))."""
+    from json_schemer_spark.operators.stats import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 20),
+         ("b", 5, 1)],
+        "grp string, id int, score int",
+    )
+    out = top_k_per_group(df, ["grp"], "score", 2, tie_col="id")
+    got = sorted((r.grp, r.id, r.rank) for r in out.collect())
+    # score ties (30, 30) break on id: 2 then 3; 20 misses the cut
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 5, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
+    with pytest.raises(ValueError):
+        top_k_per_group(df, ["grp"], "score", 0)
