@@ -105,6 +105,28 @@ elif job == "packing":
         t0 = time.time()
         out_df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
+elif job == "diff":
+    # the snapshot-diff plan class (round 6): the JOIN exchange shape the
+    # other three jobs don't cover — md5 content projections inside both
+    # scans, then a key-partitioned FULL OUTER sort-merge join (both
+    # sides shuffle on (repo, path, commit)) and the O(delta) filter.
+    # The "new" snapshot derives in-plan from the same corpus (narrow
+    # hash-keyed deletes/edits), so the timed work is dominated by the
+    # two scans + the join, identical at both cluster sizes.
+    from json_schemer_spark.operators.diff import snapshot_diff
+    keys = ["repo", "path", "commit"]
+    old_snap = corpus.select(*keys, "content")
+    new_snap = (
+        old_snap.where(F.pmod(F.xxhash64("path"), F.lit(7)) != 0)
+        .select(*keys,
+                F.when(F.pmod(F.xxhash64("path"), F.lit(5)) == 0,
+                       F.concat(F.col("content"), F.lit(" edited")))
+                 .otherwise(F.col("content")).alias("content")))
+    out_df = snapshot_diff(old_snap, new_snap, keys, ["content"])
+    def run_once():
+        t0 = time.time()
+        out_df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
 else:
     raise SystemExit(f"unknown job {job}")
 run_once(); run_once()  # 2 warmups: C2 needs several full passes over the
@@ -154,24 +176,40 @@ def run_job(job: str, rows: int, corpus: str, label: str) -> dict:
     }
 
 
+_APPEND_JOBS = {
+    "--append-packing": (
+        "packing",
+        "sequence packing (pack_group hash exchange + in-partition "
+        "sort + running-sum window, 256 groups)",
+        "sequence packing",
+    ),
+    "--append-diff": (
+        "diff",
+        "snapshot diff (md5 content projections in both scans, "
+        "key-partitioned FULL OUTER sort-merge join, O(delta) filter)",
+        "snapshot diff",
+    ),
+}
+
+
 def main():
-    # `--append-packing <artifact>`: measure ONLY the round-6 packing job
-    # (at ROWS rows) and append it to an existing artifact's jobs list —
-    # the flagship/LSH numbers in that artifact stay authoritative.
-    if "--append-packing" in sys.argv:
-        target = sys.argv[sys.argv.index("--append-packing") + 1]
-        packing = run_job(
-            "packing", ROWS, f"/tmp/jss_scaling_corpus_{ROWS}",
-            "sequence packing (pack_group hash exchange + in-partition "
-            "sort + running-sum window, 256 groups)")
+    # `--append-<job> <artifact>`: measure ONLY that job (at ROWS rows)
+    # and append it to an existing artifact's jobs list — the
+    # flagship/LSH numbers in that artifact stay authoritative.
+    for flag, (jobname, label, prefix) in _APPEND_JOBS.items():
+        if flag not in sys.argv:
+            continue
+        target = sys.argv[sys.argv.index(flag) + 1]
+        result = run_job(jobname, ROWS, f"/tmp/jss_scaling_corpus_{ROWS}",
+                         label)
         art = json.load(open(target))
         art["jobs"] = [j for j in art.get("jobs", [])
-                       if not j["job"].startswith("sequence packing")]
-        art["jobs"].append(packing)
+                       if not j["job"].startswith(prefix)]
+        art["jobs"].append(result)
         with open(target, "w") as f:
             json.dump(art, f, indent=2)
             f.write("\n")
-        print(json.dumps(packing, indent=2))
+        print(json.dumps(result, indent=2))
         return
 
     flagship = run_job(
