@@ -191,6 +191,15 @@ def main() -> None:
         # both classes were previously invisible to the bench.
         "q51_ngram_contamination",
         "q53_sequence_packing",
+        # round 6 (session 5): q55 is the span-explode + dup-hash-join
+        # class (the heaviest new shuffle shape); q57 exercises the
+        # iterative driver-loop class (8 argmax passes over the word
+        # table); q58 the union-window as-of join; q61 the full-outer
+        # SMJ diff (its scaling twin is the fourth SCALING job).
+        "q55_dup_spans",
+        "q57_bpe_merges",
+        "q58_asof_join",
+        "q61_snapshot_diff",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
