@@ -14,7 +14,7 @@ size is O(|delta|), never O(|corpus|). On bucketed persistence
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -60,3 +60,41 @@ def snapshot_diff(
         .where(F.col("status").isNotNull())
         .select(*keys, "status", "old_md5", "new_md5")
     )
+
+
+def incremental_revalidate(
+    old_verdicts: DataFrame,
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    content_cols: Sequence[str],
+    validate: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Delta-only revalidation with the ledger-merge algebra.
+
+    Given the stored per-file verdict ledger for snapshot ``old``
+    (``old_verdicts``: *key_cols + engine columns, e.g. ``valid``) and a
+    new snapshot, produce the ledger for ``new`` while running
+    ``validate`` (a DataFrame -> DataFrame verdict transform) ONLY on the
+    added/changed keys:
+
+        merged = (old_verdicts \\ diff_keys) UNION validate(new ⋉ touched)
+
+    ``diff_keys`` covers added/removed/changed, so removed keys drop out,
+    changed keys are replaced, unchanged keys keep their stored verdict
+    untouched. The defining invariant — ``incremental_revalidate(...) ==
+    validate(new)`` row for row — is what q65's DuckDB oracle checks (it
+    recomputes the FULL ledger from scratch).
+
+    Scale contract: one snapshot_diff SMJ on the keys, one left-semi to
+    cut the revalidation input to O(|delta|), one left-anti to retire
+    stale ledger rows (both co-partitioned with the diff's exchange, so
+    AQE reuses the shuffle), and ``validate`` — the expensive part at
+    10^12 files — touches only the delta.
+    """
+    keys = list(key_cols)
+    delta = snapshot_diff(old, new, keys, content_cols)
+    touched = delta.where(F.col("status") != "removed").select(*keys)
+    fresh = validate(new.join(touched, keys, "left_semi"))
+    kept = old_verdicts.join(delta.select(*keys), keys, "left_anti")
+    return kept.unionByName(fresh.select(*kept.columns))

@@ -1717,3 +1717,43 @@ def test_top_k_per_group(spark):
     assert "Python" not in plan
     with pytest.raises(ValueError):
         top_k_per_group(df, ["grp"], "score", 0)
+
+
+def test_incremental_revalidate_equals_full_recompute(spark):
+    """Round 6 session 6: the ledger-merge algebra — removed keys retired,
+    changed keys replaced, unchanged keys NEVER re-validated (the
+    validator sees only the delta), and the merged ledger equals a full
+    recompute row for row."""
+    from json_schemer_spark.operators.diff import incremental_revalidate
+
+    old = spark.createDataFrame(
+        [("r1", "a", "good"), ("r1", "b", "bad"), ("r2", "c", "good"),
+         ("r2", "d", "good")],
+        "repo string, path string, content string",
+    )
+    new = spark.createDataFrame(
+        [("r1", "a", "good"),   # unchanged
+         ("r1", "b", "good"),   # changed (bad -> good)
+         ("r2", "d", "bad"),    # changed (good -> bad); c removed
+         ("r3", "e", "bad")],   # added
+        "repo string, path string, content string",
+    )
+    calls = []
+
+    def validate(df):
+        import pyspark.sql.functions as F
+
+        calls.append(sorted(r.path for r in df.select("path").collect()))
+        return df.select(
+            "repo", "path", (F.col("content") == "good").alias("valid"))
+
+    merged = incremental_revalidate(
+        validate(old), old, new, ["repo", "path"], ["content"], validate)
+    got = {(r.repo, r.path): r.valid for r in merged.collect()}
+    assert got == {("r1", "a"): True, ("r1", "b"): True,
+                   ("r2", "d"): False, ("r3", "e"): False}
+    # full recompute agrees row for row (the q65 oracle invariant)
+    full = {(r.repo, r.path): r.valid for r in validate(new).collect()}
+    assert got == full
+    # the delta validate() saw ONLY added/changed keys — never unchanged a
+    assert calls[1] == ["b", "d", "e"]
