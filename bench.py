@@ -200,6 +200,14 @@ def main() -> None:
         "q57_bpe_merges",
         "q58_asof_join",
         "q61_snapshot_diff",
+        # round 6 (session 6): q63/q64 are the code-payload curation pair
+        # (quality gates + secret scan — one regexp_extract_all pass with
+        # HOF classification, a regex-heavy class the bench didn't track);
+        # q65 composes diff + delta-only validation + ledger merge — the
+        # incremental-revalidation path the north rule grades.
+        "q63_code_quality",
+        "q64_secrets_scan",
+        "q65_incremental_revalidate",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
