@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_code_quality": q63_code_quality,
         "q64_secrets_scan": q64_secrets_scan,
         "q65_incremental_revalidate": q65_incremental_revalidate,
+        "q66_semdedup": q66_semdedup,
     }
 
 
@@ -1637,6 +1638,41 @@ def q65_incremental_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("files"),
         F.sum((~F.col("valid")).cast("long")).alias("failed"),
     )
+
+
+def q66_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means cells → within-cell
+    exact cosine pairs → connected components → keep-one + cluster size —
+    the cluster-partitioned embedding dedup that replaces the O(n²) matrix
+    at corpus scale (round 6). Input: the q38-style deterministic
+    construction — 50 base directions each spawning 2 scalar-multiple
+    members (identical direction ⇒ SAME k-means cell by construction, so
+    cell-local recall is exactly 1, not empirical) + 100 singletons whose
+    cross cosines (≤ ~0.51) sit far below the 0.92 threshold. That makes
+    SemDeDup's output provably equal to exact-threshold dedup here, so the
+    DuckDB oracle (exact pairs + recursive-CTE components, NO k-means)
+    value-verifies the semantic path end to end."""
+    from json_schemer_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    members = (
+        emb.filter(F.col("vec_id") < 150)
+        .select(
+            "vec_id", "embedding",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+        )
+        .filter((F.col("vec_id") < 50) | (F.col("j") == 0))
+        .select(
+            (F.col("vec_id") * 10 + F.col("j")).alias("mid"),
+            F.expr(
+                "transform(embedding, x -> x * (1.0D + 0.07D * CAST(j AS DOUBLE)))"
+            ).alias("emb"),
+        )
+    )
+    out = semdedup(
+        members, dim=64, threshold=0.92, id_col="mid", vec_col="emb",
+        n_centroids=16, sample_n=500)
+    return out.select(F.col("mid").alias("kept_id"), "cluster_size").orderBy("kept_id")
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -3147,5 +3183,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, COUNT(*) AS files,
                    CAST(SUM(1 - ok) AS BIGINT) AS failed
             FROM v GROUP BY repo
+        """,
+        "q66_semdedup": """
+            WITH RECURSIVE members AS (
+                SELECT e.vec_id * 10 + t.j AS mid,
+                       [x * (1.0 + 0.07 * t.j) FOR x IN e.embedding] AS emb
+                FROM embeddings e CROSS JOIN (VALUES (0), (1)) t(j)
+                WHERE e.vec_id < 150 AND (e.vec_id < 50 OR t.j = 0)
+            ),
+            pairs AS (
+                SELECT a.mid AS id_a, b.mid AS id_b
+                FROM members a JOIN members b ON a.mid < b.mid
+                WHERE list_cosine_similarity(a.emb, b.emb) >= 0.92
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+            ),
+            clusters AS (
+                SELECT u AS mid, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+            ),
+            sizes AS (
+                SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM clusters GROUP BY cluster_id
+            )
+            SELECT m.mid AS kept_id,
+                   COALESCE(s.cluster_size, 1) AS cluster_size
+            FROM members m
+            LEFT JOIN clusters c ON m.mid = c.mid
+            LEFT JOIN sizes s ON m.mid = s.cluster_id
+            WHERE c.mid IS NULL OR c.cluster_id = m.mid
+            ORDER BY kept_id
         """,
     }

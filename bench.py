@@ -208,6 +208,9 @@ def main() -> None:
         "q63_code_quality",
         "q64_secrets_scan",
         "q65_incremental_revalidate",
+        # q66: the k-means-cell pairwise class (groupBy(centroid) into
+        # per-cell Arrow matmuls) — the only applyInPandas plan in the set.
+        "q66_semdedup",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}

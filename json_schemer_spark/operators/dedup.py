@@ -664,18 +664,7 @@ def neardup_dedup_lsh(
         n_planes=n_planes, n_tables=n_tables,
     )
     clusters = dup_clusters(pairs, a_col="id_a", b_col="id_b")
-    sizes = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    kept = dedup_keep_representatives(df, id_col=id_col, clusters=clusters)
-    heads = sizes.withColumnRenamed("cluster_id", "__head")
-    return (
-        kept.join(heads, kept[id_col] == heads["__head"], "left")
-        .withColumn(
-            "cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
-        )
-        .drop("__head")
-    )
+    return _keep_with_cluster_size(df, id_col, clusters)
 
 
 def dup_span_features(
@@ -770,3 +759,115 @@ def dup_span_features(
         F.round(ratio, 6).alias("dup_fraction"),
         (ratio <= F.lit(max_dup_fraction)).alias("keep"),
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means-cluster the embeddings, then compare pairwise ONLY within each
+    cluster — the published recipe that prunes the O(n²) all-pairs matrix
+    to O(Σ m_c²) per-cell work (≈ n²/k for balanced cells), which is what
+    makes embedding dedup feasible at 10^12 files.
+
+    Plan shape: centroid training reads a seeded ``sample_n`` sample once
+    (driver-side Lloyd, deterministic — same contract as
+    :func:`~json_schemer_spark.operators.similarity.ivf_centroids`);
+    assignment is one Arrow-batched matmul map; the pairwise stage is ONE
+    groupBy(centroid) exchange into per-cell ``applyInPandas`` numpy
+    matmuls. A degenerate cell larger than ``max_cluster_rows`` is
+    subdivided by id hash into ⌈m/cap⌉ sub-cells (pairs only within a
+    sub-cell — bounded task memory at a documented recall cost on cells
+    that big; the paper's ε-ball extraction has the same locality
+    tradeoff). Emits ``(id_a, id_b, cosine)`` with id_a < id_b and
+    cosine >= threshold — exact cosine, so within-cell results carry no
+    approximation at all.
+    """
+    import numpy as np
+
+    from .similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(
+        df, dim=dim, n_centroids=n_centroids, sample_n=sample_n,
+        id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("__csz"))
+    assigned = assigned.join(F.broadcast(sizes), "centroid_id")
+    n_sub = F.ceil(F.col("__csz") / F.lit(max_cluster_rows)).cast("long")
+    assigned = assigned.withColumn(
+        "__sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub))
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[iu[keep]],
+            "id_b": ids[ju[keep]],
+            "cosine": np.round(S[iu[keep], ju[keep]], 6),
+        })
+
+    return assigned.groupBy("centroid_id", "__sub").applyInPandas(
+        cell_pairs, "id_a long, id_b long, cosine double")
+
+
+def _keep_with_cluster_size(
+    df: DataFrame, id_col: str, clusters: DataFrame
+) -> DataFrame:
+    """Shared tail of the composed dedup pipelines: keep heads+singletons
+    (smallest id per component) and annotate the kept rows with their
+    cluster size (1 for singletons). ONE clustering pass feeds both."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    kept = dedup_keep_representatives(df, id_col=id_col, clusters=clusters)
+    heads = sizes.withColumnRenamed("cluster_id", "__head")
+    return (
+        kept.join(heads, kept[id_col] == heads["__head"], "left")
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")))
+        .drop("__head")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """The composed SemDeDup pipeline: k-means cells → within-cell exact
+    cosine pairs (:func:`semdedup_pairs`) → connected components
+    (:func:`dup_clusters`) → keep one representative per cluster with
+    cluster-size accounting — the cluster-partitioned alternative to the
+    SRP-LSH scale path (:func:`neardup_dedup_lsh`); prefer it when an
+    embedding model already encodes the similarity you want and LSH's
+    signature tuning is the risk."""
+    pairs = semdedup_pairs(
+        df, dim, threshold, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, sample_n=sample_n,
+        max_cluster_rows=max_cluster_rows)
+    clusters = dup_clusters(pairs, a_col="id_a", b_col="id_b")
+    return _keep_with_cluster_size(df, id_col, clusters)

@@ -1757,3 +1757,70 @@ def test_incremental_revalidate_equals_full_recompute(spark):
     assert got == full
     # the delta validate() saw ONLY added/changed keys — never unchanged a
     assert calls[1] == ["b", "d", "e"]
+
+
+def _semdedup_vectors(spark, n_groups=6, n_singles=8, dim=8):
+    """Deterministic members with EXACT separation: group g's base is the
+    one-hot axis e_g (pairwise cosine 0), each group has 2 scalar
+    multiples (within-group cosine exactly 1); singleton s is all-ones
+    with -3 at axis s, so singleton-singleton and singleton-group cosines
+    are 0 and ≤ 0.25 — far below any sane threshold."""
+    rows = []
+    for g in range(n_groups):
+        base = [1.0 if i == g else 0.0 for i in range(dim)]
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, [x * 1.3 for x in base]))
+    for s in range(n_singles):
+        v = [1.0] * dim
+        v[s] = -3.0
+        rows.append((1000 + s, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_keeps_one_per_semantic_cluster(spark):
+    """Round 6 session 6: SemDeDup — scalar multiples land in the same
+    k-means cell by construction, so every group collapses to its head;
+    singletons survive with cluster_size 1."""
+    from json_schemer_spark.operators.dedup import semdedup
+
+    df = _semdedup_vectors(spark)
+    out = semdedup(df, dim=8, threshold=0.95, id_col="vec_id",
+                   vec_col="embedding", n_centroids=4, sample_n=100)
+    got = {r.vec_id: r.cluster_size for r in out.collect()}
+    assert {k for k in got if k < 1000} == {0, 10, 20, 30, 40, 50}
+    assert all(got[k] == 2 for k in got if k < 1000)
+    assert all(got[k] == 1 for k in got if k >= 1000)
+
+
+def test_semdedup_oversized_cell_subdivision_bounds_pairwise(spark):
+    """A degenerate cell (every vector identical direction) larger than
+    max_cluster_rows subdivides by id hash: the pipeline still returns a
+    deterministic keep set, and no emitted pair crosses a sub-cell (the
+    documented bounded-memory recall tradeoff)."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.dedup import semdedup, semdedup_pairs
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, [x * (1.0 + 0.01 * i) for x in base]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semdedup_pairs(df, dim=4, threshold=0.99, id_col="vec_id",
+                           vec_col="embedding", n_centroids=1, sample_n=50,
+                           max_cluster_rows=4)
+    # 12 rows in ceil(12/4)=3 sub-cells: every pair stays inside one
+    # sub-cell, so pair count is far below the all-pairs 66
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 66
+    sub = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(3))
+    subs = {r.vec_id: r.s for r in df.select(
+        "vec_id", sub.alias("s")).collect()}
+    for r in pairs.collect():
+        assert subs[r.id_a] == subs[r.id_b]
+    # composed pipeline stays deterministic end to end
+    out1 = sorted(r.vec_id for r in semdedup(
+        df, dim=4, threshold=0.99, id_col="vec_id", vec_col="embedding",
+        n_centroids=1, sample_n=50, max_cluster_rows=4).collect())
+    out2 = sorted(r.vec_id for r in semdedup(
+        df, dim=4, threshold=0.99, id_col="vec_id", vec_col="embedding",
+        n_centroids=1, sample_n=50, max_cluster_rows=4).collect())
+    assert out1 == out2
