@@ -491,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_secrets_scan": q64_secrets_scan,
         "q65_incremental_revalidate": q65_incremental_revalidate,
         "q66_semdedup": q66_semdedup,
+        "q67_import_graph": q67_import_graph,
+        "q68_repo_fork_dedup": q68_repo_fork_dedup,
     }
 
 
@@ -1673,6 +1675,72 @@ def q66_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         members, dim=64, threshold=0.92, id_col="mid", vec_col="emb",
         n_centroids=16, sample_n=500)
     return out.select(F.col("mid").alias("kept_id"), "cluster_size").orderBy("kept_id")
+
+
+def q67_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency extraction + most-imported table (round 6): per-language
+    import/require patterns (code.extract_imports, one regexp_extract_all
+    pass, no Python) → explode → (lang, package) counts → top-5 per
+    language through the WindowGroupLimit top-k (stats.top_k_per_group) —
+    two round-6 operators composing. Languages without a pattern (json/
+    yaml/md here) contribute nothing, exercising the empty-array path.
+    Input: import lines synthesized deterministically from the corpus row
+    id; the DuckDB oracle reruns the IDENTICAL RE2 patterns through its
+    own regex engine and re-derives the window cut."""
+    from json_schemer_spark.operators.code import extract_imports
+    from json_schemer_spark.operators.stats import top_k_per_group
+
+    corpus = _corpus_cached(spark, 50_000)
+    rid = _corpus_rid()
+    a, b = (rid % 23).cast("string"), (rid % 17).cast("string")
+    lang = F.col("lang")
+    body = (
+        F.when(lang == "py", F.concat(
+            F.lit("import pkg_"), a, F.lit("\nfrom pkg_"), b,
+            F.lit(" import main")))
+        .when(lang == "js", F.concat(
+            F.lit("const x = require('pkg_"), a, F.lit("');")))
+        .when(lang == "go", F.concat(
+            F.lit('import "example.com/pkg_'), a, F.lit('"')))
+        .otherwise(F.col("content"))
+    )
+    synth = corpus.select("lang", body.alias("content"))
+    imp = extract_imports(synth, "content", "lang")
+    counts = (
+        imp.select("lang", F.explode("imports").alias("package"))
+        .groupBy("lang", "package")
+        .agg(F.count(F.lit(1)).alias("files"))
+    )
+    return top_k_per_group(counts, ["lang"], "files", 5, tie_col="package")
+
+
+def q68_repo_fork_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork detection (round 6) — THE code-corpus dedup problem
+    (The Stack dedups at repository granularity before file-level passes):
+    Jaccard over each repo's distinct file-content-hash set via
+    dedup.group_jaccard_pairs. The df-cap drops hashes shared by > 100
+    repos before pairing (the '[1, 2, 3]' defect body planted across
+    ~300 repos by the corpus generator exercises it for real — without
+    the cap it alone contributes ~45k join pairs). Input: every repo whose
+    md5 starts with '0'/'1' gets a '-fork' clone with ~10% of files
+    patched ⇒ expected Jaccard ≈ 0.82 ≫ 0.5 threshold, while unrelated
+    repos share (almost) nothing. The oracle re-derives clone, cap,
+    intersect and Jaccard with its own joins."""
+    from json_schemer_spark.operators.dedup import group_jaccard_pairs
+
+    corpus = _corpus_cached(spark, 50_000)
+    rid = _corpus_rid()
+    forked = corpus.where(
+        F.substring(F.md5("repo"), 1, 1).isin("0", "1")
+    ).select(
+        F.concat("repo", F.lit("-fork")).alias("repo"),
+        F.when(rid % 10 == 0, F.concat("content", F.lit(" // patch")))
+         .otherwise(F.col("content")).alias("content"),
+    )
+    snap = corpus.select("repo", "content").unionByName(forked)
+    files = snap.select("repo", F.md5("content").alias("file_hash"))
+    return group_jaccard_pairs(
+        files, "repo", "file_hash", threshold=0.5, max_item_groups=100)
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -3219,5 +3287,90 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes s ON m.mid = s.cluster_id
             WHERE c.mid IS NULL OR c.cluster_id = m.mid
             ORDER BY kept_id
+        """,
+        "q67_import_graph": r"""
+            WITH base AS (
+                SELECT lang, content,
+                       CAST(regexp_extract(path, 'file_(\d+)', 1) AS BIGINT)
+                           AS rid
+                FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet')
+            ),
+            synth AS (
+                SELECT lang,
+                    CASE WHEN lang = 'py'
+                             THEN 'import pkg_' || CAST(rid % 23 AS VARCHAR)
+                                  || chr(10) || 'from pkg_'
+                                  || CAST(rid % 17 AS VARCHAR)
+                                  || ' import main'
+                         WHEN lang = 'js'
+                             THEN 'const x = require(' || chr(39) || 'pkg_'
+                                  || CAST(rid % 23 AS VARCHAR)
+                                  || chr(39) || ');'
+                         WHEN lang = 'go'
+                             THEN 'import "example.com/pkg_'
+                                  || CAST(rid % 23 AS VARCHAR) || '"'
+                         ELSE content END AS content
+                FROM base
+            ),
+            imp AS (
+                SELECT lang,
+                    CASE WHEN lang = 'py' THEN regexp_extract_all(
+                             content, '(?:from|import) ([a-z_][a-z0-9_\.]*)', 1)
+                         WHEN lang = 'js' THEN regexp_extract_all(
+                             content, 'require\(' || chr(39) || '([^'
+                             || chr(39) || ']+)' || chr(39) || '\)', 1)
+                         WHEN lang = 'go' THEN regexp_extract_all(
+                             content, 'import "([^"]+)"', 1)
+                         ELSE CAST([] AS VARCHAR[]) END AS imports
+                FROM synth
+            ),
+            c AS (SELECT lang, unnest(imports) AS package FROM imp),
+            g AS (
+                SELECT lang, package, COUNT(*) AS files
+                FROM c GROUP BY lang, package
+            )
+            SELECT lang, package, files,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY files DESC, package ASC) AS INT) AS rank
+            FROM g QUALIFY rank <= 5
+        """,
+        "q68_repo_fork_dedup": r"""
+            WITH base AS (
+                SELECT repo, content,
+                       CAST(regexp_extract(path, 'file_(\d+)', 1) AS BIGINT)
+                           AS rid
+                FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet')
+            ),
+            fork AS (
+                SELECT repo || '-fork' AS repo,
+                       CASE WHEN rid % 10 = 0 THEN content || ' // patch'
+                            ELSE content END AS content
+                FROM base WHERE substring(md5(repo), 1, 1) IN ('0', '1')
+            ),
+            snap AS (
+                SELECT repo, md5(content) AS it FROM base
+                UNION ALL SELECT repo, md5(content) AS it FROM fork
+            ),
+            pi AS (SELECT DISTINCT repo AS g, it FROM snap),
+            sizes AS (SELECT g, COUNT(*) AS sz FROM pi GROUP BY g),
+            freq AS (SELECT it FROM pi GROUP BY it HAVING COUNT(*) <= 100),
+            rare AS (SELECT pi.g, pi.it FROM pi JOIN freq USING (it)),
+            shared AS (
+                SELECT a.g AS group_a, b.g AS group_b,
+                       COUNT(*) AS shared
+                FROM rare a JOIN rare b ON a.it = b.it AND a.g < b.g
+                GROUP BY a.g, b.g
+            ),
+            scored AS (
+                SELECT group_a, group_b, shared,
+                       sa.sz AS size_a, sb.sz AS size_b,
+                       ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 6)
+                           AS jaccard
+                FROM shared
+                JOIN sizes sa ON sa.g = group_a
+                JOIN sizes sb ON sb.g = group_b
+            )
+            SELECT * FROM scored WHERE jaccard >= 0.5
         """,
     }

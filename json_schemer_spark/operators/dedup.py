@@ -871,3 +871,62 @@ def semdedup(
         max_cluster_rows=max_cluster_rows)
     clusters = dup_clusters(pairs, a_col="id_a", b_col="id_b")
     return _keep_with_cluster_size(df, id_col, clusters)
+
+
+def group_jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    threshold: float = 0.7,
+    max_item_groups: int = 100,
+) -> DataFrame:
+    """Set-similarity pairs between GROUPS of items — the repo-level dedup
+    primitive (fork detection over file-content hashes, The Stack's
+    repository dedup): Jaccard(A, B) = |A∩B| / |A∪B| over each group's
+    distinct item set, computed by one self-equi-join on the item.
+
+    Scale contract: distinct (group, item) projection (partial-agg
+    map-side), then items appearing in more than ``max_item_groups``
+    groups are DROPPED before pairing — the df-cap trick: a file hash
+    shared by thousands of repos (empty __init__.py, LICENSE) would both
+    explode the join fan-out quadratically and carry no fork signal.
+    Dropping it bounds per-item join work at max_item_groups² while
+    leaving real fork pairs intact (forks share mostly LOW-frequency
+    hashes). The intersect counts then come from ONE item-keyed shuffle,
+    group sizes from another partial agg, and the final Jaccard filter is
+    a broadcast-friendly join of the (small) pair-count table against the
+    size table. Emits (group_a, group_b, shared, size_a, size_b, jaccard)
+    with group_a < group_b and jaccard >= threshold.
+
+    Note the denominator uses the FULL group sizes (including dropped
+    common items), so capping can only lower a score, never fabricate a
+    near-duplicate.
+    """
+    pairs_in = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("it"))
+        .distinct()
+    )
+    sizes = pairs_in.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    freq = pairs_in.groupBy("it").agg(F.count(F.lit(1)).alias("__nf"))
+    rare = pairs_in.join(
+        freq.where(F.col("__nf") <= max_item_groups).select("it"), "it")
+    a = rare.select(F.col("g").alias("group_a"), "it")
+    b = rare.select(F.col("g").alias("group_b"), "it")
+    shared = (
+        a.join(b, "it")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("size_b"))
+    out = (
+        shared.join(sa, "group_a").join(sb, "group_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("group_a", "group_b", "shared", "size_a", "size_b", "jaccard")

@@ -127,6 +127,33 @@ elif job == "diff":
         t0 = time.time()
         out_df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
+elif job == "semdedup":
+    # the Python-worker exchange class (round 6 session 6): k-means cell
+    # assignment (Arrow-batched numpy matmul map) -> ONE groupBy(centroid)
+    # exchange -> per-cell pairwise matmuls in applyInPandas. No other
+    # scaling job touches the Arrow<->Python worker path, and at real
+    # scale this is SemDeDup's entire cost profile. Embeddings derive
+    # in-plan from the corpus (16 hash-seeded dims per row, uniform-ish
+    # so cells stay balanced); centroid training (driver-side sample)
+    # happens ONCE at DataFrame build, outside the timed loop, like the
+    # other jobs' plan construction.
+    from json_schemer_spark.operators.dedup import semdedup_pairs
+    dim = 16
+    vec = F.array(*[
+        (F.pmod(F.xxhash64(F.lit(i), F.col("path")), F.lit(1000))
+         .cast("double") / 500.0 - 1.0)
+        for i in range(dim)])
+    emb = corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("vec_id"),
+        vec.alias("embedding"))
+    out_df = semdedup_pairs(
+        emb, dim=dim, threshold=0.95, id_col="vec_id",
+        vec_col="embedding", n_centroids=256, sample_n=2048,
+        max_cluster_rows=20_000)
+    def run_once():
+        t0 = time.time()
+        out_df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
 else:
     raise SystemExit(f"unknown job {job}")
 run_once(); run_once()  # 2 warmups: C2 needs several full passes over the
@@ -188,6 +215,13 @@ _APPEND_JOBS = {
         "snapshot diff (md5 content projections in both scans, "
         "key-partitioned FULL OUTER sort-merge join, O(delta) filter)",
         "snapshot diff",
+    ),
+    "--append-semdedup": (
+        "semdedup",
+        "SemDeDup cell pairwise (k-means assignment map, groupBy(centroid) "
+        "exchange into per-cell applyInPandas numpy matmuls — the "
+        "Arrow/Python-worker path)",
+        "SemDeDup",
     ),
 }
 

@@ -1824,3 +1824,35 @@ def test_semdedup_oversized_cell_subdivision_bounds_pairwise(spark):
         df, dim=4, threshold=0.99, id_col="vec_id", vec_col="embedding",
         n_centroids=1, sample_n=50, max_cluster_rows=4).collect())
     assert out1 == out2
+
+
+def test_group_jaccard_pairs_fork_detection_and_df_cap(spark):
+    """Round 6 session 6: repo-level set Jaccard — exact score, a<b
+    ordering, and the df-cap: an item shared by every group is dropped
+    from pairing but still counts in the denominators (so the cap can
+    only lower scores, never fabricate a near-dup)."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.dedup import group_jaccard_pairs
+
+    rows = []
+    for i in range(10):
+        rows.append(("orig", f"h{i}"))
+        if i < 9:
+            rows.append(("fork", f"h{i}"))  # 9 shared
+    rows.append(("fork", "hX"))             # 1 own -> J = 9/11
+    for g in ("orig", "fork", "g3", "g4", "g5"):
+        rows.append((g, "COMMON"))           # in every group
+    df = spark.createDataFrame(rows, "g string, it string")
+    out = group_jaccard_pairs(df, "g", "it", threshold=0.5,
+                              max_item_groups=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("fork", "orig")
+    assert r.shared == 9  # COMMON dropped by the cap (5 groups > 4)
+    assert (r.size_a, r.size_b) == (11, 11)  # denominators keep COMMON
+    assert r.jaccard == round(9 / 13, 6)
+    # without the cap, COMMON pairs all 5 groups and scores change
+    uncapped = group_jaccard_pairs(df, "g", "it", threshold=0.0,
+                                   max_item_groups=100)
+    assert uncapped.count() == 10  # all C(5,2) pairs now share >= 1 item
