@@ -493,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_semdedup": q66_semdedup,
         "q67_import_graph": q67_import_graph,
         "q68_repo_fork_dedup": q68_repo_fork_dedup,
+        "q69_comment_density": q69_comment_density,
+        "q70_repo_license": q70_repo_license,
     }
 
 
@@ -1741,6 +1743,79 @@ def q68_repo_fork_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = snap.select("repo", F.md5("content").alias("file_hash"))
     return group_jaccard_pairs(
         files, "repo", "file_hash", threshold=0.5, max_item_groups=100)
+
+
+def q69_comment_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-density + TODO/FIXME debt report per language (round 6):
+    code.comment_features — line-comment prefix per language, exact
+    integer line counts, case-insensitive debt markers — rolled up per
+    lang with comment_frac derived from the integer sums (engine-exact).
+    Narrow JVM map + ONE partial-agg shuffle on the 7-value lang key.
+    Input: code bodies synthesized deterministically (prefix-correct
+    headers, rid-gated indented comments, a trailing '# TODO … FIXME'
+    code line that must count as debt but NOT as a comment line); the
+    DuckDB oracle re-derives everything with its own list machinery."""
+    from json_schemer_spark.operators.code import comment_rollup
+
+    corpus = _corpus_cached(spark, 50_000)
+    rid = _corpus_rid()
+    lang = F.col("lang")
+    pfx = (
+        F.when(lang.isin("py", "rb", "yaml"), F.lit("#"))
+        .when(lang.isin("js", "go"), F.lit("//"))
+    )
+    body = F.concat_ws(
+        "\n",
+        F.when(pfx.isNotNull(), F.concat(pfx, F.lit(" header comment")))
+         .otherwise(F.lit("plain header")),
+        F.concat(F.lit("val_"), (rid % 7).cast("string"),
+                 F.lit(" = "), (rid % 13).cast("string")),
+        F.when(
+            rid % 6 == 0,
+            F.when(pfx.isNotNull(),
+                   F.concat(F.lit("   "), pfx, F.lit(" indented note")))
+             .otherwise(F.lit("note")),
+        ),
+        F.when(rid % 9 == 0, F.lit("x = 1  # TODO fix this and FIXME that")),
+        F.when(rid % 15 == 0, F.lit("done();")),
+    )
+    synth = corpus.select("lang", body.alias("content"))
+    return comment_rollup(synth, "content", "lang")
+
+
+def q70_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level license resolution (round 6): per-file SPDX-tag /
+    header-phrase detection (code.license_features — SPDX wins, head-only
+    scan) rolled up to the repo's modal license with deterministic
+    tie-break and the permissive gate — The Stack's actual filtering
+    granularity. Plan: one scan, partial-agged (repo, license) counts,
+    then a tiny repo exchange where min(struct(-cnt, lic)) picks the mode
+    without a window. Input: rid-gated license headers (MIT via SPDX tag
+    AND via the MIT phrase — two detection paths, one id — Apache/GPL/MPL
+    tags, unlicensed rest) so mode, tie-break, class and NULL repos all
+    occur; the DuckDB oracle re-detects from the TEXT with its own regex
+    + contains machinery and re-derives the mode with a window."""
+    from json_schemer_spark.operators.code import repo_license
+
+    corpus = _corpus_cached(spark, 50_000)
+    rid = _corpus_rid()
+    lic_line = (
+        F.when(rid % 23 == 0, F.lit("// SPDX-License-Identifier: MIT"))
+        .when(rid % 23 == 1, F.lit("# SPDX-License-Identifier: Apache-2.0"))
+        .when(rid % 23 == 2,
+              F.lit("// SPDX-License-Identifier: GPL-3.0-only"))
+        .when(rid % 23 == 3,
+              F.lit("/* Permission is hereby granted, free of charge, "
+                    "to any person */"))
+        .when(rid % 23 == 4, F.lit("// SPDX-License-Identifier: MPL-2.0"))
+    )
+    body = F.concat_ws(
+        "\n",
+        F.coalesce(lic_line, F.lit("// no header")),
+        F.concat(F.lit("fn_"), (rid % 9).cast("string"), F.lit("();")),
+    )
+    synth = corpus.select("repo", body.alias("content"))
+    return repo_license(synth, "content")
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -3372,5 +3447,138 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.g = group_b
             )
             SELECT * FROM scored WHERE jaccard >= 0.5
+        """,
+        "q69_comment_density": r"""
+            WITH base AS (
+                SELECT lang,
+                       CAST(regexp_extract(path, 'file_(\d+)', 1) AS BIGINT)
+                           AS rid
+                FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet')
+            ),
+            synth AS (
+                SELECT lang,
+                    concat_ws(chr(10),
+                        CASE WHEN lang IN ('py','rb','yaml')
+                                 THEN '# header comment'
+                             WHEN lang IN ('js','go')
+                                 THEN '// header comment'
+                             ELSE 'plain header' END,
+                        'val_' || CAST(rid % 7 AS VARCHAR) || ' = '
+                            || CAST(rid % 13 AS VARCHAR),
+                        CASE WHEN rid % 6 = 0 THEN
+                            CASE WHEN lang IN ('py','rb','yaml')
+                                     THEN '   # indented note'
+                                 WHEN lang IN ('js','go')
+                                     THEN '   // indented note'
+                                 ELSE 'note' END END,
+                        CASE WHEN rid % 9 = 0
+                             THEN 'x = 1  # TODO fix this and FIXME that' END,
+                        CASE WHEN rid % 15 = 0 THEN 'done();' END
+                    ) AS content
+                FROM base
+            ),
+            feat AS (
+                SELECT lang,
+                    len(list_filter(string_split(content, chr(10)),
+                                    x -> trim(x) != '')) AS nb,
+                    CASE WHEN lang IN ('py','rb','yaml') THEN
+                             len(list_filter(string_split(content, chr(10)),
+                                 x -> starts_with(ltrim(x), '#')))
+                         WHEN lang IN ('js','go') THEN
+                             len(list_filter(string_split(content, chr(10)),
+                                 x -> starts_with(ltrim(x), '//')))
+                         ELSE 0 END AS cm,
+                    len(regexp_extract_all(content, '(?i)todo|fixme', 0))
+                        AS debt
+                FROM synth
+            )
+            SELECT lang,
+                   COUNT(*) AS files,
+                   CAST(SUM(nb) AS BIGINT) AS nonblank_lines,
+                   CAST(SUM(cm) AS BIGINT) AS comment_lines,
+                   CASE WHEN SUM(nb) > 0
+                        THEN ROUND(SUM(cm) * 1.0 / SUM(nb), 6)
+                        ELSE 0.0 END AS comment_frac,
+                   CAST(SUM(debt) AS BIGINT) AS debt_markers
+            FROM feat GROUP BY lang
+        """,
+        "q70_repo_license": r"""
+            WITH base AS (
+                SELECT repo,
+                       CAST(regexp_extract(path, 'file_(\d+)', 1) AS BIGINT)
+                           AS rid
+                FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet')
+            ),
+            synth AS (
+                SELECT repo,
+                    concat_ws(chr(10),
+                        COALESCE(CASE rid % 23
+                            WHEN 0 THEN '// SPDX-License-Identifier: MIT'
+                            WHEN 1 THEN '# SPDX-License-Identifier: Apache-2.0'
+                            WHEN 2 THEN '// SPDX-License-Identifier: GPL-3.0-only'
+                            WHEN 3 THEN '/* Permission is hereby granted, free of charge, to any person */'
+                            WHEN 4 THEN '// SPDX-License-Identifier: MPL-2.0'
+                            END, '// no header'),
+                        'fn_' || CAST(rid % 9 AS VARCHAR) || '();'
+                    ) AS content
+                FROM base
+            ),
+            feat AS (
+                SELECT repo,
+                    COALESCE(
+                        nullif(regexp_extract(
+                            lower(substr(content, 1, 1024)),
+                            'spdx-license-identifier:\s*([a-z0-9.+-]+)', 1),
+                            ''),
+                        CASE WHEN contains(lower(substr(content, 1, 1024)),
+                                 'permission is hereby granted, free of charge')
+                                 THEN 'mit'
+                             WHEN contains(lower(substr(content, 1, 1024)),
+                                 'licensed under the apache license, version 2.0')
+                                 THEN 'apache-2.0'
+                             END
+                    ) AS license_id
+                FROM synth
+            ),
+            per AS (
+                SELECT repo, license_id, COUNT(*) AS cnt
+                FROM feat GROUP BY repo, license_id
+            ),
+            modal AS (
+                SELECT repo, license_id,
+                       row_number() OVER (PARTITION BY repo
+                           ORDER BY cnt DESC, license_id ASC) AS rn
+                FROM per WHERE license_id IS NOT NULL
+            ),
+            tot AS (
+                SELECT repo,
+                       SUM(CASE WHEN license_id IS NOT NULL THEN cnt
+                                ELSE 0 END) AS licensed_files,
+                       SUM(cnt) AS total_files
+                FROM per GROUP BY repo
+            ),
+            res AS (
+                SELECT t.repo, m.license_id AS repo_license,
+                       t.licensed_files, t.total_files
+                FROM tot t
+                LEFT JOIN (SELECT * FROM modal WHERE rn = 1) m
+                  ON t.repo = m.repo
+            )
+            SELECT repo, repo_license,
+                CASE WHEN repo_license IS NULL THEN 'unknown'
+                     WHEN repo_license IN ('mit','apache-2.0','bsd-2-clause',
+                          'bsd-3-clause','isc','unlicense','0bsd','zlib')
+                          THEN 'permissive'
+                     WHEN repo_license LIKE 'lgpl%'
+                          OR repo_license LIKE 'mpl%' THEN 'weak-copyleft'
+                     WHEN repo_license LIKE 'gpl%'
+                          OR repo_license LIKE 'agpl%' THEN 'copyleft'
+                     ELSE 'other' END AS license_class,
+                CAST(licensed_files AS BIGINT) AS licensed_files,
+                CAST(total_files AS BIGINT) AS total_files,
+                COALESCE(repo_license IN ('mit','apache-2.0','bsd-2-clause',
+                    'bsd-3-clause','isc','unlicense','0bsd','zlib'), FALSE)
+                    AS is_permissive
+            FROM res
         """,
     }
