@@ -783,7 +783,15 @@ def semdedup_pairs(
     :func:`~json_schemer_spark.operators.similarity.ivf_centroids`);
     assignment is one Arrow-batched matmul map; the pairwise stage is ONE
     groupBy(centroid) exchange into per-cell ``applyInPandas`` numpy
-    matmuls. A degenerate cell larger than ``max_cluster_rows`` is
+    matmuls. Cell sizes come from a ``count() OVER (PARTITION BY
+    centroid_id)`` window riding that same exchange — NOT a separate
+    aggregate + broadcast join, which would re-execute the whole
+    scan→assignment subtree as the broadcast build side (the Python
+    assignment pass would run twice per action); the window buffer is
+    spillable, and the follow-on groupBy(centroid_id, __sub) reuses the
+    centroid_id hash partitioning (a subset of the clustering keys), so
+    the full plan is exactly one exchange and one Python assignment pass.
+    A degenerate cell larger than ``max_cluster_rows`` is
     subdivided by id hash into ⌈m/cap⌉ sub-cells (pairs only within a
     sub-cell — bounded task memory at a documented recall cost on cells
     that big; the paper's ε-ball extraction has the same locality
@@ -792,6 +800,7 @@ def semdedup_pairs(
     approximation at all.
     """
     import numpy as np
+    from pyspark.sql import Window
 
     from .similarity import ivf_assign, ivf_centroids
 
@@ -799,10 +808,8 @@ def semdedup_pairs(
         df, dim=dim, n_centroids=n_centroids, sample_n=sample_n,
         id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
-    sizes = assigned.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("__csz"))
-    assigned = assigned.join(F.broadcast(sizes), "centroid_id")
-    n_sub = F.ceil(F.col("__csz") / F.lit(max_cluster_rows)).cast("long")
+    csz = F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
+    n_sub = F.ceil(csz / F.lit(max_cluster_rows)).cast("long")
     assigned = assigned.withColumn(
         "__sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub))
 

@@ -37,7 +37,12 @@ N_LOW = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 N_HIGH = N_LOW * 4
 CORES_EACH = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-LSH_ROWS = int(sys.argv[5]) if len(sys.argv) > 5 else 500_000
+LSH_ROWS = (
+    int(sys.argv[5])
+    if len(sys.argv) > 5 and sys.argv[5].lstrip("-").isdigit()
+    and not sys.argv[5].startswith("--")
+    else 500_000
+)
 CORPUS = f"/tmp/jss_scaling_corpus_{ROWS}"
 
 CHILD = r"""

@@ -1826,6 +1826,33 @@ def test_semdedup_oversized_cell_subdivision_bounds_pairwise(spark):
     assert out1 == out2
 
 
+def test_semdedup_pairs_plan_single_exchange(spark):
+    """Plan regression for the round-6 anti-scale fix: cell sizes must
+    come from a window riding the ONE groupBy(centroid) exchange, not a
+    separate aggregate broadcast-joined back (which re-executed the whole
+    Python assignment subtree as the broadcast build side). Executed plan
+    must show exactly one shuffle exchange, one MapInPandas assignment
+    pass, and no BroadcastExchange — hash(centroid_id) satisfies the
+    (centroid_id, __sub) clustering, so FlatMapGroupsInPandas reuses it."""
+    import re
+
+    import random
+
+    from json_schemer_spark.operators.dedup import semdedup_pairs
+
+    rng = random.Random(7)
+    rows = [(i, [rng.random() for _ in range(8)]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_pairs(df, dim=8, threshold=0.9, n_centroids=4,
+                         sample_n=128)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"MapInPandas", plan)) == 1
+    assert len(re.findall(r"FlatMapGroupsInPandas", plan)) == 1
+
+
 def test_group_jaccard_pairs_fork_detection_and_df_cap(spark):
     """Round 6 session 6: repo-level set Jaccard — exact score, a<b
     ordering, and the df-cap: an item shared by every group is dropped
