@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_repo_fork_dedup": q68_repo_fork_dedup,
         "q69_comment_density": q69_comment_density,
         "q70_repo_license": q70_repo_license,
+        "q71_interval_join": q71_interval_join,
     }
 
 
@@ -1816,6 +1817,45 @@ def q70_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     synth = corpus.select("repo", body.alias("content"))
     return repo_license(synth, "content")
+
+
+def q71_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (round 6) — the brief's other named custom
+    operator: events matched to the KEYLESS maintenance windows that
+    contain them (the case Catalyst plans as BroadcastNestedLoopJoin).
+    operators/temporal.interval_join rewrites it as an equi-join on
+    30-minute time buckets (intervals exploded to the buckets they span,
+    exact half-open predicate re-applied after) — the executed plan is
+    asserted NestedLoop-free in tests. Windows: 60 synthesized in-plan
+    (nightly [02:00, 04:30) and deploy [11:00, 11:45) per January day);
+    the DuckDB oracle runs the NAIVE range join directly — the strongest
+    independent check of the bucketing rewrite's semantics."""
+    from json_schemer_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    mk = F.make_timestamp_ntz
+    d = F.col("id")
+    wins = spark.range(1, 31).select(F.explode(F.array(
+        F.struct(
+            F.lit("nightly").alias("kind"),
+            mk(F.lit(2024), F.lit(1), d, F.lit(2), F.lit(0), F.lit(0))
+            .alias("win_start"),
+            mk(F.lit(2024), F.lit(1), d, F.lit(4), F.lit(30), F.lit(0))
+            .alias("win_end")),
+        F.struct(
+            F.lit("deploy").alias("kind"),
+            mk(F.lit(2024), F.lit(1), d, F.lit(11), F.lit(0), F.lit(0))
+            .alias("win_start"),
+            mk(F.lit(2024), F.lit(1), d, F.lit(11), F.lit(45), F.lit(0))
+            .alias("win_end")),
+    )).alias("w")).select("w.*")
+    j = interval_join(ev, wins, "ts", "win_start", "win_end",
+                      bucket_width=1800.0)
+    return j.select(
+        "event_id", "event_type", "value", "kind",
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("win_start"))
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -3580,5 +3620,23 @@ def oracle_sql() -> dict[str, str]:
                     'bsd-3-clause','isc','unlicense','0bsd','zlib'), FALSE)
                     AS is_permissive
             FROM res
+        """,
+        "q71_interval_join": r"""
+            WITH days AS (SELECT * FROM generate_series(1, 30) AS t(d)),
+            wins AS (
+                SELECT 'nightly' AS kind,
+                       make_timestamp(2024, 1, d, 2, 0, 0) AS ws,
+                       make_timestamp(2024, 1, d, 4, 30, 0) AS we
+                FROM days
+                UNION ALL
+                SELECT 'deploy',
+                       make_timestamp(2024, 1, d, 11, 0, 0),
+                       make_timestamp(2024, 1, d, 11, 45, 0)
+                FROM days
+            )
+            SELECT e.event_id, e.event_type, e.value, w.kind,
+                   strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS win_start
+            FROM events e JOIN wins w
+              ON e.ts >= w.ws AND e.ts < w.we
         """,
     }

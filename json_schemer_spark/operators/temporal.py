@@ -125,3 +125,92 @@ def sessionize(
     return df.withColumn(
         "session_index", (F.sum(brk).over(run) - F.lit(1)).cast("long")
     )
+
+
+def _bucket_micros(c: F.Column, type_name: str) -> tuple[F.Column, bool]:
+    """A monotone numeric view of a time column for BUCKETING only (the
+    exact range predicate always compares the original columns, so the
+    mapping just has to be order-preserving): epoch micros for
+    timestamps (NTZ via a session-zone cast — monotone either way),
+    the raw value for numerics."""
+    if type_name == "timestamp":
+        return F.unix_micros(c), True
+    if type_name == "timestamp_ntz":
+        return F.unix_micros(c.cast("timestamp")), True
+    return c.cast("double"), False
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    key_cols: Sequence[str] = (),
+    bucket_width: float = 3600.0,
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Bucketed range join — the brief's other named "operator Spark
+    lacks": every ``events`` row joined to the ``intervals`` rows whose
+    half-open window contains it (``start <= t < end``), optionally per
+    equality key.
+
+    Catalyst plans a bare range predicate (no equality key, or one with
+    few distinct values) as BroadcastNestedLoopJoin / cartesian —
+    O(|E|·|I|) row comparisons, the classic scale cliff. This is the
+    standard chunking rewrite instead: time is cut into fixed
+    ``bucket_width`` buckets, each interval is exploded to the buckets
+    it spans (``sequence(bucket(start), bucket(end))``), events carry
+    their single bucket, and the join becomes an EQUI-join on
+    ``(bucket, *key_cols)`` with the exact range predicate re-applied
+    afterwards. Cost: O(|I| · span/width) exploded rows + one keyed
+    exchange that AQE can re-plan (broadcast when the exploded interval
+    side is small, skew-split on hot buckets). No duplicates by
+    construction: an interval appears once per bucket and an event joins
+    only within its own bucket.
+
+    ``bucket_width`` is in SECONDS for timestamp columns (micros
+    internally; the bucket mapping is monotone so truncation can't lose
+    matches) and in the column's own units for numeric time columns.
+    Pick it near the typical interval span: much smaller explodes the
+    interval side, much larger degrades bucket selectivity toward the
+    naive join. Intervals spanning more than ``max_buckets_per_interval``
+    buckets fail fast with a task error (a misconfigured width at 10^12
+    rows should fail loudly, not OOM an exchange). Column names other
+    than ``key_cols`` must be disjoint between the two sides.
+    """
+    keys = list(key_cols)
+    ev_t = events.schema[time_col].dataType.typeName()
+    iv_s = intervals.schema[start_col].dataType.typeName()
+    iv_e = intervals.schema[end_col].dataType.typeName()
+    ts_like = {"timestamp", "timestamp_ntz"}
+    if (ev_t in ts_like) != (iv_s in ts_like) or (iv_s in ts_like) != (iv_e in ts_like):
+        raise ValueError(
+            f"time columns must all be timestamps or all numeric; got "
+            f"{time_col}:{ev_t}, {start_col}:{iv_s}, {end_col}:{iv_e}")
+    t_num, is_ts = _bucket_micros(F.col(time_col), ev_t)
+    s_num, _ = _bucket_micros(F.col(start_col), iv_s)
+    e_num, _ = _bucket_micros(F.col(end_col), iv_e)
+    width = float(bucket_width) * (1_000_000.0 if is_ts else 1.0)
+    sb = F.floor(s_num / width).cast("long")
+    eb = F.floor(e_num / width).cast("long")
+    n_buckets = eb - sb + F.lit(1)
+    guarded = F.when(
+        n_buckets <= F.lit(max_buckets_per_interval),
+        F.sequence(sb, eb),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"interval_join: interval spans more than "
+              f"{max_buckets_per_interval} buckets of width "
+              f"{bucket_width}; raise bucket_width "),
+        F.lit("(span buckets: "), n_buckets.cast("string"), F.lit(")"))))
+    iv = (
+        intervals.where(F.col(start_col) < F.col(end_col))
+        .withColumn("__bucket", F.explode(guarded))
+    )
+    ev = events.withColumn(
+        "__bucket", F.floor(t_num / width).cast("long"))
+    joined = ev.join(iv, ["__bucket", *keys], "inner").where(
+        (F.col(time_col) >= F.col(start_col))
+        & (F.col(time_col) < F.col(end_col)))
+    return joined.drop("__bucket")

@@ -1883,3 +1883,79 @@ def test_group_jaccard_pairs_fork_detection_and_df_cap(spark):
     uncapped = group_jaccard_pairs(df, "g", "it", threshold=0.0,
                                    max_item_groups=100)
     assert uncapped.count() == 10  # all C(5,2) pairs now share >= 1 item
+
+
+def test_interval_join_boundaries_no_dups_and_plan(spark):
+    """Bucketed range join: half-open [start, end) semantics, an interval
+    spanning several buckets matches an event exactly once, and the
+    executed plan is an EQUI-join — never BroadcastNestedLoopJoin or a
+    cartesian (the whole point of the bucketing rewrite)."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.temporal import interval_join
+
+    events = spark.createDataFrame(
+        [(1, 100.0), (2, 150.0), (3, 250.0), (4, 0.0), (5, 99.9)],
+        "event_id long, t double")
+    ivs = spark.createDataFrame(
+        [("a", 100.0, 250.0),   # spans buckets 1..2 at width 100
+         ("b", 0.0, 100.0),
+         ("c", 240.0, 260.0)],
+        "name string, s double, e double")
+    out = interval_join(events, ivs, "t", "s", "e", bucket_width=100.0)
+    got = sorted((r.event_id, r.name) for r in out.collect())
+    # t=100 in a (start inclusive) but NOT b (end exclusive); t=250 in c
+    # but NOT a; no event matched twice by the multi-bucket interval a
+    assert got == [(1, "a"), (2, "a"), (3, "c"), (4, "b"), (5, "b")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_timestamps_and_keys(spark):
+    import datetime as dt
+
+    from json_schemer_spark.operators.temporal import interval_join
+
+    T = dt.datetime
+    events = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 2, 30), 1), ("u2", T(2024, 1, 1, 2, 30), 2),
+         ("u1", T(2024, 1, 1, 5, 0), 3)],
+        "user string, ts timestamp, event_id long")
+    ivs = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 2, 0), T(2024, 1, 1, 4, 30), "w1"),
+         ("u2", T(2024, 1, 1, 3, 0), T(2024, 1, 1, 4, 0), "w2")],
+        "user string, ws timestamp, we timestamp, wname string")
+    out = interval_join(events, ivs, "ts", "ws", "we",
+                        key_cols=["user"], bucket_width=3600.0)
+    got = sorted((r.event_id, r.wname) for r in out.collect())
+    # u2's 02:30 event is outside w2; the key prevents cross-user matches
+    assert got == [(1, "w1")]
+
+
+def test_interval_join_oversized_span_fails_fast(spark):
+    import pytest
+
+    from json_schemer_spark.operators.temporal import interval_join
+
+    events = spark.createDataFrame([(1, 5.0)], "event_id long, t double")
+    ivs = spark.createDataFrame([(0.0, 1e9, "huge")],
+                                "s double, e double, name string")
+    out = interval_join(events, ivs, "t", "s", "e", bucket_width=1.0,
+                        max_buckets_per_interval=100)
+    with pytest.raises(Exception, match="raise bucket_width"):
+        out.collect()
+
+
+def test_interval_join_rejects_mixed_time_kinds(spark):
+    import datetime as dt
+
+    import pytest
+
+    from json_schemer_spark.operators.temporal import interval_join
+
+    events = spark.createDataFrame([(1, 5.0)], "event_id long, t double")
+    ivs = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), "x")],
+        "s timestamp, e timestamp, name string")
+    with pytest.raises(ValueError, match="all be timestamps or all numeric"):
+        interval_join(events, ivs, "t", "s", "e")
