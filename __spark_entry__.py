@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_comment_density": q69_comment_density,
         "q70_repo_license": q70_repo_license,
         "q71_interval_join": q71_interval_join,
+        "q72_pagerank": q72_pagerank,
     }
 
 
@@ -1856,6 +1857,69 @@ def q71_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value", "kind",
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss")
         .alias("win_start"))
+
+
+def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a corpus-derived dependency graph (round 6) — the
+    canonical iterative graph algorithm for corpus curation (rank
+    repos/packages by dependency centrality to weight training mixes).
+    graph.pagerank keeps the per-iteration plan O(1): the (src, dst,
+    outdeg) projection is joined/persisted ONCE, each iteration is one
+    equi-join + one partial-aggregated shuffle, lineage truncated via
+    localCheckpoint. Edges are synthesized deterministically from
+    documents.doc_id under two coprime moduli (src = id % 211, dst =
+    (13·id + 5) % 199) so out-degrees vary and the DuckDB oracle can
+    replay the exact recurrence — one join+aggregate CTE per iteration
+    (GraphX staticPageRank semantics: fixed 8 iterations, no dangling
+    redistribution)."""
+    from json_schemer_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 211).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % 199).alias("dst"),
+    )
+    out = pagerank(edges, n_iter=8, damping=0.85)
+    return out.select(
+        "node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _pagerank_ctes(n_iter: int) -> str:
+    """q72 oracle: one contribution-join + rank-update CTE pair per
+    iteration, generated mechanically so the chain depth always matches
+    the query's n_iter. DuckDB re-derives edges, out-degrees and the
+    recurrence with its own joins — nothing shared with graph.pagerank."""
+    q = ["""
+            WITH e AS (
+                SELECT DISTINCT doc_id % 211 AS src,
+                       (doc_id * 13 + 5) % 199 AS dst
+                FROM documents
+            ),
+            nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            deg AS (
+                SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+            ),
+            r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        q.append(f"""
+            , c{i} AS (
+                SELECT e.dst AS node, SUM(p.rank / d.outdeg) AS m
+                FROM e
+                JOIN deg d ON d.src = e.src
+                JOIN r{i - 1} p ON p.node = e.src
+                GROUP BY e.dst
+            )
+            , r{i} AS (
+                SELECT n.node,
+                       0.15 + 0.85 * COALESCE(c.m, 0.0) AS rank
+                FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+            )""")
+    q.append(f"""
+            SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}
+            ORDER BY node""")
+    return "".join(q)
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -3639,4 +3703,5 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN wins w
               ON e.ts >= w.ws AND e.ts < w.we
         """,
+        "q72_pagerank": _pagerank_ctes(8),
     }

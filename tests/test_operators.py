@@ -1959,3 +1959,54 @@ def test_interval_join_rejects_mixed_time_kinds(spark):
         "s timestamp, e timestamp, name string")
     with pytest.raises(ValueError, match="all be timestamps or all numeric"):
         interval_join(events, ivs, "t", "s", "e")
+
+
+def test_pagerank_cycle_fixpoint(spark):
+    # On a directed cycle every node has outdeg 1 and one in-edge, so
+    # rank = (1-d) + d*rank has the exact fixpoint 1.0 at every
+    # iteration count — any deviation means mass is leaking.
+    from json_schemer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=7).collect()}
+    assert set(got) == {0, 1, 2}
+    for v in got.values():
+        assert abs(v - 1.0) < 1e-12
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import numpy as np
+
+    from json_schemer_spark.operators.graph import pagerank
+
+    # deterministic irregular digraph incl. a dangling node (4) and a
+    # duplicate edge that must collapse to one dependency
+    raw = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (0, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, n_iter=12, damping=0.85).collect()}
+
+    uniq = sorted(set(raw))
+    nodes = sorted({u for e in uniq for u in e})
+    outdeg = {n: sum(1 for s, _ in uniq if s == n) for n in nodes}
+    r = {n: 1.0 for n in nodes}
+    for _ in range(12):
+        nxt = {}
+        for n in nodes:
+            m = sum(r[s] / outdeg[s] for s, d in uniq if d == n)
+            nxt[n] = 0.15 + 0.85 * m
+        r = nxt
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == np.float64(r[n]) or abs(got[n] - r[n]) < 1e-9
+
+
+def test_pagerank_validates_n_iter(spark):
+    import pytest
+
+    from json_schemer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=0)
