@@ -497,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_repo_license": q70_repo_license,
         "q71_interval_join": q71_interval_join,
         "q72_pagerank": q72_pagerank,
+        "q73_sliding_windows": q73_sliding_windows,
     }
 
 
@@ -1882,6 +1883,31 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank(edges, n_iter=8, damping=0.85)
     return out.select(
         "node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def q73_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding-window rollup (round 6): per-event-type counts
+    and mean value over 1-hour windows advancing every 15 minutes — the
+    batch twin of the streaming windowed aggregation, via
+    temporal.sliding_window_agg (ONE JVM Expand node assigns each row its
+    4 overlapping windows, partial agg before the single exchange; no
+    window-table self-join, no Python). Epoch-aligned starts make
+    membership pure arithmetic, which the DuckDB oracle re-derives with
+    its own generate_series(0,3) cross join + epoch maths."""
+    from json_schemer_spark.operators.temporal import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev, "ts",
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.avg("value"), 6).alias("avg_value")],
+        window="1 hour", slide="15 minutes", key_cols=["event_type"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_end"),
+        "event_type", "n", "avg_value")
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -3704,4 +3730,20 @@ def oracle_sql() -> dict[str, str]:
               ON e.ts >= w.ws AND e.ts < w.we
         """,
         "q72_pagerank": _pagerank_ctes(8),
+        "q73_sliding_windows": """
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(ws + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM (
+                SELECT e.event_type, e.value,
+                       make_timestamp(
+                           (CAST(FLOOR(epoch(e.ts) / 900) AS BIGINT) - t.k)
+                           * 900 * 1000000) AS ws
+                FROM events e CROSS JOIN generate_series(0, 3) AS t(k)
+            )
+            GROUP BY ws, event_type
+        """,
     }

@@ -211,6 +211,13 @@ def main() -> None:
         # q66: the k-means-cell pairwise class (groupBy(centroid) into
         # per-cell Arrow matmuls) — the only applyInPandas plan in the set.
         "q66_semdedup",
+        # round 6 (session 7): q68 is the grouped-set-Jaccard join class
+        # (repo fork detection); q71 the bucketed range-join rewrite; q72
+        # the iterative checkpointed join+shuffle loop (PageRank) — three
+        # plan classes added since session 6, none previously benched.
+        "q68_repo_fork_dedup",
+        "q71_interval_join",
+        "q72_pagerank",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}

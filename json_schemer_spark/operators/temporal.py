@@ -214,3 +214,69 @@ def interval_join(
         (F.col(time_col) >= F.col(start_col))
         & (F.col(time_col) < F.col(end_col)))
     return joined.drop("__bucket")
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    time_col: str,
+    aggs: Sequence,
+    *,
+    window: str,
+    slide: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Event-time sliding-window rollup: aggregate ``events`` into
+    overlapping windows of ``window`` duration advancing every ``slide``
+    (tumbling when equal), optionally keyed by ``key_cols``.
+
+    This is the batch twin of the streaming windowed aggregation
+    (streaming/windowed.py) expressed the way Spark wants it: the
+    built-in ``F.window`` generator assigns each row its
+    window/slide overlapping windows JVM-side in ONE Expand node — no
+    self-join against a window table, no Python — and the groupBy on
+    (window, keys) partial-aggregates map-side before the single
+    exchange. Epoch-aligned window starts (Spark's default startTime=0)
+    keep the assignment pure arithmetic, so an external engine can
+    re-derive membership exactly: row t belongs to starts
+    ``floor(t/slide)*slide - k*slide`` for k in 0..window/slide-1.
+
+    ``window`` must be a whole multiple of ``slide`` (Spark itself
+    allows ragged ratios, but they make the overlap count vary per row
+    — a silent output-size footgun at scale, and unreplayable by the
+    arithmetic above, so we reject them loudly).
+
+    ``aggs`` are ready-made aggregate Columns (e.g.
+    ``F.count(F.lit(1)).alias("n")``). Returns one row per
+    (window_start, window_end, *key_cols) with the aggregates applied.
+    """
+
+    def _secs(d: str) -> float:
+        parts = d.strip().split()
+        if len(parts) != 2:
+            raise ValueError(f"duration must be '<n> <unit>', got {d!r}")
+        n = float(parts[0])
+        unit = parts[1].rstrip("s")
+        mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        if unit not in mult:
+            raise ValueError(f"unsupported duration unit in {d!r}")
+        return n * mult[unit]
+
+    w_s, s_s = _secs(window), _secs(slide)
+    if s_s <= 0 or w_s <= 0:
+        raise ValueError("window and slide must be positive")
+    if w_s % s_s != 0:
+        raise ValueError(
+            f"window ({window}) must be a whole multiple of slide "
+            f"({slide}); ragged ratios give per-row-varying overlap "
+            "counts and are not replayable")
+    keys = list(key_cols)
+    out = events.groupBy(
+        F.window(F.col(time_col), window, slide), *keys
+    ).agg(*aggs)
+    agg_names = [c for c in out.columns if c != "window" and c not in keys]
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *agg_names,
+    )

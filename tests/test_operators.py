@@ -2010,3 +2010,63 @@ def test_pagerank_validates_n_iter(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(edges, n_iter=0)
+
+
+def test_sliding_window_agg_membership_and_tumbling(spark):
+    import datetime as dt
+
+    from json_schemer_spark.operators.temporal import sliding_window_agg
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 0, 10, 0), 10.0),
+         (2, dt.datetime(2024, 1, 2, 0, 40, 0), 30.0)],
+        "id long, ts timestamp, value double")
+    out = sliding_window_agg(
+        ev, "ts",
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")],
+        window="1 hour", slide="15 minutes").collect()
+    got = {(r["window_start"].strftime("%H:%M"), r["n"], r["s"])
+           for r in out}
+    # row1 (00:10) -> starts 23:15..00:00; row2 (00:40) -> 23:45..00:30;
+    # overlap at 23:45 and 00:00 holds both
+    assert ("23:45", 2, 40.0) in got and ("00:00", 2, 40.0) in got
+    assert ("23:15", 1, 10.0) in got and ("00:30", 1, 30.0) in got
+    assert len(out) == 6  # 4 + 4 windows, 2 shared
+
+    # tumbling (window == slide): every row in exactly one window
+    t = sliding_window_agg(
+        ev, "ts", [F.count(F.lit(1)).alias("n")],
+        window="15 minutes", slide="15 minutes").collect()
+    assert [(r["window_start"].strftime("%H:%M"), r["n"]) for r in
+            sorted(t, key=lambda r: r["window_start"])] == [
+        ("00:00", 1), ("00:30", 1)]
+
+
+def test_sliding_window_agg_keys_plan_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from json_schemer_spark.operators.temporal import sliding_window_agg
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 0, 1, 0), "a", 1.0),
+         (dt.datetime(2024, 1, 2, 0, 2, 0), "b", 2.0)],
+        "ts timestamp, k string, value double")
+    out = sliding_window_agg(
+        ev, "ts", [F.count(F.lit(1)).alias("n")],
+        window="30 minutes", slide="15 minutes", key_cols=["k"])
+    rows = out.collect()
+    assert {(r["k"], r["n"]) for r in rows} == {("a", 1), ("b", 1)}
+    assert out.columns == ["window_start", "window_end", "k", "n"]
+    # window assignment must be the JVM Expand generator, no Python stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    with pytest.raises(ValueError, match="whole multiple"):
+        sliding_window_agg(ev, "ts", [F.count(F.lit(1)).alias("n")],
+                           window="40 minutes", slide="15 minutes")
+    with pytest.raises(ValueError, match="duration"):
+        sliding_window_agg(ev, "ts", [F.count(F.lit(1)).alias("n")],
+                           window="1h", slide="15 minutes")
