@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_interval_join": q71_interval_join,
         "q72_pagerank": q72_pagerank,
         "q73_sliding_windows": q73_sliding_windows,
+        "q74_schema_infer": q74_schema_infer,
     }
 
 
@@ -1908,6 +1909,59 @@ def q73_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
         .alias("window_end"),
         "event_type", "n", "avg_value")
+
+
+def q74_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Schema INFERENCE — the inverse of the engine's core operation
+    (round 6): profile every (JSON-pointer, type) pair in a corpus with
+    the all-JVM variant walk (schema/infer.json_pointer_profile: one
+    try_parse_json, per-level explode(try_variant_get) for object keys
+    and array elements, ONE partial-aggregated (pointer, jtype) shuffle).
+    infer_schema assembles the draft 2020-12 document from this profile;
+    the round-trip invariant (inferred schema validates its own corpus)
+    is pinned in tests. Input: nested JSON synthesized deterministically
+    from documents.doc_id — objects, arrays of varying length (incl.
+    empty), an optional key, a null/string union, integer vs number
+    classification (a trailing non-zero decimal digit keeps the two
+    engines' numeric taxonomies aligned; x.0 is 'integer' to the spec
+    and to the variant parser but DOUBLE to DuckDB's). The oracle
+    re-synthesizes the docs with its own || concat and re-derives every
+    pointer's stats with DuckDB JSON functions."""
+    from json_schemer_spark.schema.infer import json_pointer_profile
+
+    i = F.col("doc_id")
+    tags_inner = F.when(i % 4 == 0, F.lit("")).otherwise(
+        F.concat_ws(",", F.transform(
+            F.sequence(F.lit(1), (i % 4).cast("int")),
+            lambda k: F.concat(F.lit('"t'), (k - 1).cast("string"),
+                               F.lit('"')))))
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+        (i % 3 + 1).cast("int"))
+    extra = F.when(
+        i % 7 == 0,
+        F.concat(F.lit(',"extra":'),
+                 F.when(i % 14 == 0, F.lit("null")).otherwise(
+                     F.concat(F.lit('"x'), (i % 13).cast("string"),
+                              F.lit('"'))))
+    ).otherwise(F.lit(""))
+    doc = F.concat(
+        F.lit('{"id":'), i.cast("string"),
+        F.lit(',"name":"user_'), (i % 97).cast("string"),
+        F.lit('","score":'), (i * 7 % 1000).cast("string"),
+        F.lit("."), (i % 9 + 1).cast("string"),
+        F.lit(',"tags":['), tags_inner,
+        F.lit('],"meta":{"lang":"'), lang,
+        F.lit('","level":'), (i % 5).cast("string"),
+        F.lit("}"), extra, F.lit("}"))
+    synth = _t(spark, sf_dir, "documents").select(doc.alias("j"))
+    prof = json_pointer_profile(synth, "j", max_depth=4)
+    return prof.select(
+        "pointer", "jtype", "n",
+        F.round("min_num", 6).alias("min_num"),
+        F.round("max_num", 6).alias("max_num"),
+        F.col("min_len").cast("long").alias("min_len"),
+        F.col("max_len").cast("long").alias("max_len"))
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -3745,5 +3799,73 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e CROSS JOIN generate_series(0, 3) AS t(k)
             )
             GROUP BY ws, event_type
+        """,
+        "q74_schema_infer": """
+            WITH docs AS (
+                SELECT
+                    '{"id":' || doc_id ||
+                    ',"name":"user_' || (doc_id % 97) ||
+                    '","score":' || (doc_id * 7 % 1000) || '.' ||
+                    (doc_id % 9 + 1) ||
+                    ',"tags":[' ||
+                    COALESCE(array_to_string(
+                        list_transform(range(0, CAST(doc_id % 4 AS INT)),
+                                       k -> '"t' || k || '"'), ','), '') ||
+                    '],"meta":{"lang":"' ||
+                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'en'
+                         WHEN 1 THEN 'fr' ELSE 'de' END ||
+                    '","level":' || (doc_id % 5) || '}' ||
+                    CASE WHEN doc_id % 7 = 0 THEN ',"extra":' ||
+                        CASE WHEN doc_id % 14 = 0 THEN 'null'
+                             ELSE '"x' || (doc_id % 13) || '"' END
+                    ELSE '' END || '}' AS j
+                FROM documents
+            ),
+            nodes AS (
+                SELECT '' AS pointer, 'object' AS jtype,
+                       NULL::DOUBLE AS num, NULL::BIGINT AS len FROM docs
+                UNION ALL
+                SELECT '/id', 'integer',
+                       CAST(json_extract(j, '$.id') AS DOUBLE), NULL
+                FROM docs
+                UNION ALL
+                SELECT '/name', 'string', NULL,
+                       length(json_extract_string(j, '$.name')) FROM docs
+                UNION ALL
+                SELECT '/score', 'number',
+                       CAST(json_extract(j, '$.score') AS DOUBLE), NULL
+                FROM docs
+                UNION ALL
+                SELECT '/tags', 'array', NULL, NULL FROM docs
+                UNION ALL
+                SELECT '/tags/*', 'string', NULL, length(t)
+                FROM (SELECT unnest(CAST(json_extract(j, '$.tags')
+                                         AS VARCHAR[])) AS t FROM docs)
+                UNION ALL
+                SELECT '/meta', 'object', NULL, NULL FROM docs
+                UNION ALL
+                SELECT '/meta/lang', 'string', NULL,
+                       length(json_extract_string(j, '$.meta.lang'))
+                FROM docs
+                UNION ALL
+                SELECT '/meta/level', 'integer',
+                       CAST(json_extract(j, '$.meta.level') AS DOUBLE),
+                       NULL
+                FROM docs
+                UNION ALL
+                SELECT '/extra',
+                       CASE WHEN json_type(j, '$.extra') = 'NULL'
+                            THEN 'null' ELSE 'string' END,
+                       NULL,
+                       CASE WHEN json_type(j, '$.extra') = 'VARCHAR'
+                            THEN length(json_extract_string(j, '$.extra'))
+                       END
+                FROM docs WHERE json_type(j, '$.extra') IS NOT NULL
+            )
+            SELECT pointer, jtype, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(MIN(num), 6) AS min_num,
+                   ROUND(MAX(num), 6) AS max_num,
+                   MIN(len) AS min_len, MAX(len) AS max_len
+            FROM nodes GROUP BY pointer, jtype
         """,
     }
