@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_pagerank": q72_pagerank,
         "q73_sliding_windows": q73_sliding_windows,
         "q74_schema_infer": q74_schema_infer,
+        "q75_schema_drift": q75_schema_drift,
     }
 
 
@@ -1962,6 +1963,42 @@ def q74_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_num", 6).alias("max_num"),
         F.col("min_len").cast("long").alias("min_len"),
         F.col("max_len").cast("long").alias("max_len"))
+
+
+def q75_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DRIFT between two corpus snapshots (round 6) — the
+    operational payoff of q74's inference: profile both snapshots with
+    the variant walk, full-outer-join the two aggregated (pointer, type)
+    tables, classify added/removed/count_changed. The corpus-sized work
+    is the two profile walks; the join runs over the tiny aggregated
+    profiles (AQE broadcasts one side). Snapshot B mutates A in-plan:
+    every doc_id % 3 == 0 turns the integer `a` into a string (the
+    classic upstream type regression → one added + one removed row at
+    /a), doc_id % 4 == 0 gains a new key `b`, and the old optional `c`
+    (doc_id % 5 == 0) is dropped entirely. The DuckDB oracle re-derives
+    both profiles with its own JSON functions and join."""
+    from json_schemer_spark.schema.infer import profile_drift
+
+    i = F.col("doc_id")
+    old_doc = F.concat(
+        F.lit('{"id":'), i.cast("string"),
+        F.lit(',"a":'), (i % 10).cast("string"),
+        F.when(i % 5 == 0, F.lit(',"c":true')).otherwise(F.lit("")),
+        F.lit("}"))
+    new_doc = F.concat(
+        F.lit('{"id":'), i.cast("string"),
+        F.lit(',"a":'),
+        F.when(i % 3 == 0,
+               F.concat(F.lit('"s'), (i % 10).cast("string"), F.lit('"'))
+               ).otherwise((i % 10).cast("string")),
+        F.when(i % 4 == 0, F.lit(',"b":[1]')).otherwise(F.lit("")),
+        F.lit("}"))
+    docs = _t(spark, sf_dir, "documents")
+    out = profile_drift(
+        docs.select(old_doc.alias("j")),
+        docs.select(new_doc.alias("j")),
+        "j", max_depth=2)
+    return out.orderBy("pointer", "jtype")
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -3867,5 +3904,77 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(num), 6) AS max_num,
                    MIN(len) AS min_len, MAX(len) AS max_len
             FROM nodes GROUP BY pointer, jtype
+        """,
+        "q75_schema_drift": """
+            WITH old_docs AS (
+                SELECT '{"id":' || doc_id || ',"a":' || (doc_id % 10) ||
+                       CASE WHEN doc_id % 5 = 0 THEN ',"c":true'
+                            ELSE '' END || '}' AS j
+                FROM documents
+            ),
+            new_docs AS (
+                SELECT '{"id":' || doc_id || ',"a":' ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '"s' || (doc_id % 10) || '"'
+                            ELSE CAST(doc_id % 10 AS VARCHAR) END ||
+                       CASE WHEN doc_id % 4 = 0 THEN ',"b":[1]'
+                            ELSE '' END || '}' AS j
+                FROM documents
+            ),
+            old_nodes AS (
+                SELECT '' AS pointer, 'OBJECT' AS dt FROM old_docs
+                UNION ALL
+                SELECT '/' || k, json_type(j, '$.' || k)
+                FROM old_docs, unnest(json_keys(j)) AS t(k)
+            ),
+            new_nodes AS (
+                SELECT '' AS pointer, 'OBJECT' AS dt FROM new_docs
+                UNION ALL
+                SELECT '/' || k, json_type(j, '$.' || k)
+                FROM new_docs, unnest(json_keys(j)) AS t(k)
+                UNION ALL
+                SELECT '/b/*', json_type(e)
+                FROM new_docs,
+                     unnest(CAST(json_extract(j, '$.b') AS JSON[])) AS t(e)
+            ),
+            typed_old AS (
+                SELECT pointer,
+                       CASE dt WHEN 'VARCHAR' THEN 'string'
+                               WHEN 'UBIGINT' THEN 'integer'
+                               WHEN 'BIGINT' THEN 'integer'
+                               WHEN 'DOUBLE' THEN 'number'
+                               WHEN 'BOOLEAN' THEN 'boolean'
+                               WHEN 'ARRAY' THEN 'array'
+                               WHEN 'OBJECT' THEN 'object'
+                               WHEN 'NULL' THEN 'null' END AS jtype,
+                       CAST(COUNT(*) AS BIGINT) AS old_n
+                FROM old_nodes GROUP BY 1, 2
+            ),
+            typed_new AS (
+                SELECT pointer,
+                       CASE dt WHEN 'VARCHAR' THEN 'string'
+                               WHEN 'UBIGINT' THEN 'integer'
+                               WHEN 'BIGINT' THEN 'integer'
+                               WHEN 'DOUBLE' THEN 'number'
+                               WHEN 'BOOLEAN' THEN 'boolean'
+                               WHEN 'ARRAY' THEN 'array'
+                               WHEN 'OBJECT' THEN 'object'
+                               WHEN 'NULL' THEN 'null' END AS jtype,
+                       CAST(COUNT(*) AS BIGINT) AS new_n
+                FROM new_nodes GROUP BY 1, 2
+            )
+            SELECT COALESCE(o.pointer, n.pointer) AS pointer,
+                   COALESCE(o.jtype, n.jtype) AS jtype,
+                   CASE WHEN o.old_n IS NULL THEN 'added'
+                        WHEN n.new_n IS NULL THEN 'removed'
+                        WHEN o.old_n != n.new_n THEN 'count_changed'
+                        ELSE 'stable' END AS change,
+                   o.old_n, n.new_n
+            FROM typed_old o
+            FULL OUTER JOIN typed_new n
+              ON o.pointer = n.pointer AND o.jtype = n.jtype
+            WHERE NOT (o.old_n IS NOT NULL AND n.new_n IS NOT NULL
+                       AND o.old_n = n.new_n)
+            ORDER BY pointer, jtype
         """,
     }

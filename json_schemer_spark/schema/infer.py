@@ -268,3 +268,54 @@ def infer_schema(
     schema = build("")
     schema["$schema"] = "https://json-schema.org/draft/2020-12/schema"
     return schema
+
+
+def profile_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    json_col: str,
+    *,
+    max_depth: int = 6,
+    include_stable: bool = False,
+) -> DataFrame:
+    """Schema DRIFT between two corpus snapshots — the operational reason
+    to infer schemas at all: an upstream feed changed shape and the
+    validation schema is now wrong, or about to be.
+
+    Profiles both snapshots with ``json_pointer_profile`` and
+    full-outer-joins the two (pointer, jtype) tables:
+
+    - ``added``     — the pointer/type pair exists only in the new corpus
+                      (a new key, or a new type at an existing pointer —
+                      the classic int→string regression shows up as one
+                      ``added`` + one ``removed`` row at the same pointer);
+    - ``removed``   — only in the old corpus;
+    - ``count_changed`` — both, different instance counts (a key becoming
+                      optional/required drifts here before it
+                      adds/removes);
+    - ``stable``    — both, same count (emitted only with
+                      ``include_stable=True``).
+
+    Scale shape: the corpus-sized work is the two profile walks; the
+    join runs over the two AGGREGATED profiles (rows = distinct
+    pointer/type pairs), so the exchange after the heavy stage is
+    negligible and AQE will broadcast one side.
+    """
+    po = json_pointer_profile(old_df, json_col, max_depth=max_depth).select(
+        "pointer", "jtype", F.col("n").alias("old_n")
+    )
+    pn = json_pointer_profile(new_df, json_col, max_depth=max_depth).select(
+        "pointer", "jtype", F.col("n").alias("new_n")
+    )
+    j = po.join(pn, ["pointer", "jtype"], "full_outer")
+    change = (
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .when(F.col("old_n") != F.col("new_n"), F.lit("count_changed"))
+        .otherwise(F.lit("stable"))
+    )
+    out = j.select("pointer", "jtype", change.alias("change"),
+                   "old_n", "new_n")
+    if not include_stable:
+        out = out.where(F.col("change") != "stable")
+    return out

@@ -125,3 +125,23 @@ def test_infer_roundtrip_validates_own_corpus(spark):
     bad = _df(spark, ['{"vals":[true]}'])
     res = compile_schema(sch).validate_json_column(bad, "j").collect()
     assert not res[0]["valid"]
+
+
+def test_profile_drift_classifies_changes(spark):
+    old = _df(spark, ['{"a":1,"c":true}', '{"a":2}'])
+    new = _df(spark, ['{"a":"s","b":[1]}', '{"a":3}'])
+    from json_schemer_spark.schema.infer import profile_drift
+
+    rows = {(r["pointer"], r["jtype"]): (r["change"], r["old_n"], r["new_n"])
+            for r in profile_drift(old, new, "j").collect()}
+    assert rows[("/a", "integer")] == ("count_changed", 2, 1)
+    assert rows[("/a", "string")] == ("added", None, 1)
+    assert rows[("/b", "array")] == ("added", None, 1)
+    assert rows[("/b/*", "integer")] == ("added", None, 1)
+    assert rows[("/c", "boolean")] == ("removed", 1, None)
+    assert ("", "object") not in rows  # stable filtered by default
+
+    with_stable = profile_drift(old, new, "j", include_stable=True)
+    stable = {(r["pointer"], r["jtype"]) for r in with_stable.collect()
+              if r["change"] == "stable"}
+    assert ("", "object") in stable
