@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_sliding_windows": q73_sliding_windows,
         "q74_schema_infer": q74_schema_infer,
         "q75_schema_drift": q75_schema_drift,
+        "q76_weighted_sample": q76_weighted_sample,
     }
 
 
@@ -1999,6 +2000,24 @@ def q75_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(new_doc.alias("j")),
         "j", max_depth=2)
     return out.orderBy("pointer", "jtype")
+
+
+def q76_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (round 6): Efraimidis-
+    Spirakis priority draw — 15 documents per language with inclusion
+    probability proportional to a synthetic quality weight
+    (doc_id % 10 + 1). sampling.weighted_sample keys the uniform on
+    md5(id || seed) so the draw is retry/cluster-size stable AND
+    bit-replayable: the DuckDB oracle recomputes u from the same md5
+    prefix (hex -> uint32 via its own CAST), re-derives ln(u)/w and the
+    per-language window cut with its own engine."""
+    from json_schemer_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 10 + 1).alias("weight"))
+    out = weighted_sample(
+        docs, "doc_id", "weight", 15, group_cols=["lang"], seed="q76")
+    return out.select("lang", "doc_id", "weight").orderBy("lang", "doc_id")
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -3976,5 +3995,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o.old_n IS NOT NULL AND n.new_n IS NOT NULL
                        AND o.old_n = n.new_n)
             ORDER BY pointer, jtype
+        """,
+        "q76_weighted_sample": """
+            WITH scored AS (
+                SELECT lang, doc_id, doc_id % 10 + 1 AS weight,
+                       ln((CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR) || 'q76'),
+                               1, 8)) AS UBIGINT) + 1) / 4294967297.0)
+                       / (doc_id % 10 + 1) AS score
+                FROM documents
+            ),
+            ranked AS (
+                SELECT lang, doc_id, weight,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY score DESC, doc_id ASC) AS rk
+                FROM scored
+            )
+            SELECT lang, doc_id, weight FROM ranked WHERE rk <= 15
+            ORDER BY lang, doc_id
         """,
     }

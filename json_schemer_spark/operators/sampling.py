@@ -32,6 +32,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "budget_mixture_sample",
+    "weighted_sample",
 ]
 
 _HASH_SPACE = 1 << 32
@@ -160,3 +161,54 @@ def budget_mixture_sample(
     kept = joined.filter(
         hash_bucket(F.col(key_col), seed) < F.col("__bm_thr"))
     return kept.drop("__bm_src", "__bm_thr")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    group_cols=(),
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group):
+    Efraimidis-Spirakis priority sampling, the standard one-pass
+    distributed algorithm — each row gets key ``u^(1/w)`` for a uniform
+    ``u`` and is selected iff its key is among the k largest. Inclusion
+    probability is proportional to weight, exactly what quality-weighted
+    corpus subsetting wants ("keep 100k docs per language, favoring high
+    quality score").
+
+    Determinism discipline matches the rest of this module: ``u``
+    derives from ``md5(id || seed)`` (not ``rand()``), so retries,
+    re-runs and cluster sizes all pick the same sample, and an external
+    engine can replay the draw bit-for-bit. We order by the equivalent
+    ``ln(u)/w`` (monotone in ``u^(1/w)``, avoids pow underflow for tiny
+    weights) through ``stats.top_k_per_group``, so Spark's
+    WindowGroupLimit keeps a partial top-k map-side and the exchange
+    carries O(groups x k x tasks) rows, never the corpus. Rows with
+    non-positive weight are excluded (weight 0 = never sampled). With
+    empty ``group_cols`` the final cut runs in one task over the k-per-
+    task survivors — grouped sampling is the scale path.
+    """
+    from json_schemer_spark.operators.stats import top_k_per_group
+
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(_HASH_SPACE + 1))
+    scored = df.where(w > 0).withColumn("__es_key", F.log(u) / w)
+    return (
+        top_k_per_group(
+            scored, list(group_cols), "__es_key", k, tie_col=id_col
+        )
+        .drop("__es_key", "rank")
+    )

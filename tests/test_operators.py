@@ -2070,3 +2070,39 @@ def test_sliding_window_agg_keys_plan_and_validation(spark):
     with pytest.raises(ValueError, match="duration"):
         sliding_window_agg(ev, "ts", [F.count(F.lit(1)).alias("n")],
                            window="1h", slide="15 minutes")
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from json_schemer_spark.operators.sampling import weighted_sample
+
+    # 300 independent groups, each {light: w=1, heavy: w=9}, k=1: the
+    # heavy item should win ~90% of groups (exact draw is deterministic
+    # for the fixed seed, so this never flakes)
+    rows = [(g, g * 2, 1.0) for g in range(300)] + \
+           [(g, g * 2 + 1, 9.0) for g in range(300)]
+    df = spark.createDataFrame(rows, "grp long, id long, w double")
+    out = weighted_sample(df, "id", "w", 1, group_cols=["grp"], seed="t")
+    got = out.collect()
+    assert len(got) == 300
+    heavy_wins = sum(1 for r in got if r["id"] % 2 == 1)
+    assert 240 <= heavy_wins <= 295
+
+    again = {(r["grp"], r["id"])
+             for r in weighted_sample(df, "id", "w", 1,
+                                      group_cols=["grp"], seed="t").collect()}
+    assert again == {(r["grp"], r["id"]) for r in got}
+    other = {(r["grp"], r["id"])
+             for r in weighted_sample(df, "id", "w", 1,
+                                      group_cols=["grp"], seed="u").collect()}
+    assert other != again
+
+
+def test_weighted_sample_without_replacement_and_zero_weights(spark):
+    from json_schemer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 0.0), (4, -2.0)], "id long, w double")
+    got = weighted_sample(df, "id", "w", 10).collect()
+    ids = sorted(r["id"] for r in got)
+    assert ids == [1, 2]  # k > eligible rows -> all eligible, no dups
+    assert "__es_key" not in weighted_sample(df, "id", "w", 1).columns
