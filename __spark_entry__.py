@@ -501,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_schema_infer": q74_schema_infer,
         "q75_schema_drift": q75_schema_drift,
         "q76_weighted_sample": q76_weighted_sample,
+        "q77_html_extract": q77_html_extract,
+        "q78_url_canonical_dedup": q78_url_canonical_dedup,
     }
 
 
@@ -2018,6 +2020,69 @@ def q76_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = weighted_sample(
         docs, "doc_id", "weight", 15, group_cols=["lang"], seed="q76")
     return out.select("lang", "doc_id", "weight").orderBy("lang", "doc_id")
+
+
+def q77_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction (round 6) — the C4 step BEFORE every quality
+    filter: web.strip_html drops script/style/comment blocks (lazy spans,
+    RE2-safe: no backreferences), strips tags, decodes entities
+    (&amp; last so double-encoded input single-decodes), collapses
+    whitespace — one narrow all-JVM projection. Input: genuine HTML
+    assembled around each document's text with per-row script/comment
+    payloads and double-encoded entities. The DuckDB oracle runs the
+    IDENTICAL patterns through its own RE2 + replace chain."""
+    from json_schemer_spark.operators.web import strip_html
+
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><title>Doc '), i.cast("string"),
+        F.lit('</title><style>body { color: #'), (i % 9).cast("string"),
+        F.lit('00; }</style></head><body><!-- id '), i.cast("string"),
+        F.lit(' --><script type="text/javascript">var n = '),
+        i.cast("string"),
+        F.lit('; if (n &lt; 2) {}</script><h1>Title &amp;amp; '),
+        (i % 7).cast("string"),
+        F.lit('</h1><p class="x">'), F.col("text"),
+        F.lit(' &lt;tag&gt; &quot;q&quot;&nbsp;end</p></body></html>'))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("h"))
+    out = strip_html(docs, "h", out_col="text")
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+def q78_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup counts (round 6):
+    web.canonicalize_urls lowercases scheme/host, strips userinfo /
+    default ports / fragments, sorts query params and drops utm_*
+    tracking params — two spellings of one page map to one key, then a
+    single partial-agg groupBy counts the dedup classes. Input URLs are
+    deliberately messy (mixed-case scheme+host, default and explicit
+    ports, unsorted params, tracking params, fragments) derived from
+    doc_id, so each canonical key collects several spellings. The DuckDB
+    oracle re-canonicalizes with its own regexp/list machinery."""
+    from json_schemer_spark.operators.web import canonicalize_urls
+
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    port = (
+        F.when((i % 4 == 0) & (i % 2 == 0), F.lit(":80"))
+        .when((i % 4 == 0) & (i % 2 == 1), F.lit(":443"))
+        .when(i % 8 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(i % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), (i % 7).cast("string")))
+    url = F.concat(
+        scheme, F.lit("://WWW.Example"), (i % 20).cast("string"),
+        F.lit(".COM"), port, path,
+        F.lit("?b=2&a="), (i % 3).cast("string"),
+        F.lit("&utm_source=x&utm_medium=y#sec"), (i % 3).cast("string"))
+    docs = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    canon = canonicalize_urls(docs, "url")
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("canonical_url")
+    )
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -4014,5 +4079,88 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, doc_id, weight FROM ranked WHERE rk <= 15
             ORDER BY lang, doc_id
+        """,
+        "q77_html_extract": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || doc_id ||
+                       '</title><style>body { color: #' || (doc_id % 9) ||
+                       '00; }</style></head><body><!-- id ' || doc_id ||
+                       ' --><script type="text/javascript">var n = ' ||
+                       doc_id || '; if (n &lt; 2) {}</script>' ||
+                       '<h1>Title &amp;amp; ' || (doc_id % 7) ||
+                       '</h1><p class="x">' || text ||
+                       ' &lt;tag&gt; &quot;q&quot;&nbsp;end</p>' ||
+                       '</body></html>' AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                       replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(h,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                               '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                       '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS text
+            FROM pages
+            ORDER BY doc_id
+        """,
+        "q78_url_canonical_dedup": r"""
+            WITH urls AS (
+                SELECT
+                    CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
+                         ELSE 'https' END ||
+                    '://WWW.Example' || (doc_id % 20) || '.COM' ||
+                    CASE WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN ':80'
+                         WHEN doc_id % 4 = 0 AND doc_id % 2 = 1 THEN ':443'
+                         WHEN doc_id % 8 = 1 THEN ':8080'
+                         ELSE '' END ||
+                    CASE WHEN doc_id % 5 = 0 THEN ''
+                         ELSE '/p/' || (doc_id % 7) END ||
+                    '?b=2&a=' || (doc_id % 3) ||
+                    '&utm_source=x&utm_medium=y#sec' || (doc_id % 3) AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    regexp_replace(regexp_replace(
+                        lower(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                        '^.*@', ''), '\.$', '') AS rawhost,
+                    regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                        1) AS rawpath,
+                    list_sort(list_filter(
+                        string_split(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)',
+                            1), '&'),
+                        p -> p != '' AND NOT starts_with(p, 'utm_')))
+                        AS params
+                FROM urls
+            ),
+            canon AS (
+                SELECT scheme || '://' ||
+                    CASE WHEN scheme = 'http' AND ends_with(rawhost, ':80')
+                         THEN left(rawhost, length(rawhost) - 3)
+                         WHEN scheme = 'https' AND ends_with(rawhost, ':443')
+                         THEN left(rawhost, length(rawhost) - 4)
+                         ELSE rawhost END ||
+                    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+                    CASE WHEN len(params) > 0
+                         THEN '?' || array_to_string(params, '&')
+                         ELSE '' END AS canonical_url
+                FROM parts
+            )
+            SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n
+            FROM canon GROUP BY canonical_url
+            ORDER BY canonical_url
         """,
     }

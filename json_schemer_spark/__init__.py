@@ -38,6 +38,11 @@ from json_schemer_spark.schema.openapi import (
     openapi30_document,
     openapi31_document,
 )
+from json_schemer_spark.schema.infer import (
+    infer_schema,
+    json_pointer_profile,
+    profile_drift,
+)
 from json_schemer_spark.errors import pretty, pretty_errors_column
 from json_schemer_spark.configuration import Configuration, configuration, configure, configured
 
@@ -46,6 +51,9 @@ __all__ = [
     "valid_schema",
     "validate_schema",
     "CompiledSchema",
+    "infer_schema",
+    "json_pointer_profile",
+    "profile_drift",
     "pretty",
     "Configuration",
     "configuration",

@@ -50,6 +50,8 @@ __all__ = [
     "url_features",
     "domain_blocklist_filter",
     "domain_blocklist_join",
+    "strip_html",
+    "canonicalize_urls",
 ]
 
 #: Bound on the host-suffix candidate expansion (labels per host). Real
@@ -204,3 +206,104 @@ def domain_blocklist_join(
     return out.withColumn("blocked", F.col("matched_entry").isNotNull()).drop(
         "__bl_len"
     )
+
+
+# Java+RE2-compatible (no backreferences — RE2 has none, so script and
+# style get their own patterns), shared verbatim with the DuckDB oracle.
+_HTML_BLOCK_RES = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+    r"<[^>]*$",  # unterminated trailing tag (truncated page)
+)
+#: Entity decode table; ``&amp;`` LAST so ``&amp;lt;`` single-decodes to
+#: ``&lt;`` instead of ``<``.
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+_QUERY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)"
+
+
+def strip_html(df: DataFrame, html_col: str, out_col: str = "text") -> DataFrame:
+    """Extract visible text from an HTML column — the first step of every
+    web-corpus pipeline (C4 extracts text before any quality filter).
+
+    Pure ``Column`` regex algebra, one narrow projection: drop
+    ``<script>``/``<style>`` blocks and comments (lazy ``.*?`` spans,
+    separate patterns because RE2 has no backreferences), drop remaining
+    tags, decode the common entities (``&amp;`` last, so double-encoded
+    input single-decodes), collapse whitespace. This is the pragmatic
+    regex tier — not an HTML5 tree parser; CDATA and malformed-nesting
+    edge cases degrade to extra whitespace, never to dropped visible
+    text. No shuffle, no Python, whole-stage codegen throughout.
+    """
+    t = F.col(html_col)
+    for pat in _HTML_BLOCK_RES:
+        t = F.regexp_replace(t, pat, " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out_col, t)
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "canonical_url",
+    *,
+    drop_param_prefixes: Sequence[str] = ("utm_",),
+) -> DataFrame:
+    """Canonicalize URLs for dedup/grouping: two spellings of the same
+    page must map to one key before URL-level dedup or per-domain
+    aggregation means anything.
+
+    Normalizations (all pure ``Column``, one projection, no Python):
+    lowercase scheme and host, strip userinfo / trailing host dot /
+    the scheme's default port (``:80`` http, ``:443`` https — explicit
+    non-default ports survive), empty path becomes ``/``, query params
+    are split, tracking params dropped by prefix (``utm_*`` by
+    default), the rest SORTED and rejoined, fragment dropped. Out of
+    scope (documented, not silently wrong): percent-decoding, dot-
+    segment resolution, IDN — those need per-row codecs; run them
+    upstream if the corpus requires. Rows that don't parse as
+    ``scheme://authority...`` get NULL, so malformed URLs group
+    together visibly instead of polluting canonical keys.
+    """
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
+    # trailing host dot sits BEFORE any :port ("ex.com.:80"), so the
+    # strip pattern carries the optional port through via $1
+    host = F.regexp_replace(
+        F.regexp_replace(auth, _USERINFO_RE, ""),
+        r"\.((:[0-9]+)?)$", "$1")
+    host = (
+        F.when((scheme == "http") & host.endswith(":80"),
+               F.substring(host, 1, F.length(host) - 3))
+        .when((scheme == "https") & host.endswith(":443"),
+              F.substring(host, 1, F.length(host) - 4))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    def keep(p: Column) -> Column:
+        cond = p != ""
+        for pref in drop_param_prefixes:
+            cond = cond & ~F.startswith(p, F.lit(pref))
+        return cond
+
+    params = F.array_sort(
+        F.filter(F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"), keep))
+    qs = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, path, qs),
+    )
+    return df.withColumn(out_col, canon)

@@ -2106,3 +2106,40 @@ def test_weighted_sample_without_replacement_and_zero_weights(spark):
     ids = sorted(r["id"] for r in got)
     assert ids == [1, 2]  # k > eligible rows -> all eligible, no dups
     assert "__es_key" not in weighted_sample(df, "id", "w", 1).columns
+
+
+def test_strip_html_blocks_entities_and_whitespace(spark):
+    from json_schemer_spark.operators.web import strip_html
+
+    html = ('<HTML><SCRIPT lang="js">var a = "<p>not text</p>";\n'
+            'more</SCRIPT><style>p { x: 1 }</style><!-- note\n-->'
+            '<h1>A&amp;B</h1>  <p>x &amp;lt; y &nbsp;&quot;z&quot;</p>')
+    df = spark.createDataFrame([(html,), ("<p>keep</p><p",)], "h string")
+    got = [r["text"] for r in strip_html(df, "h").collect()]
+    # script contents (incl. the embedded "<p>" string) are gone entirely;
+    # &amp;lt; single-decodes to the literal &lt; (never to "<")
+    assert got[0] == 'A&B x &lt; y "z"'
+    # malformed trailing "<p" degrades to whitespace, never eats text
+    assert got[1] == "keep"
+
+
+def test_canonicalize_urls_normalizations(spark):
+    from json_schemer_spark.operators.web import canonicalize_urls
+
+    urls = [
+        "HTTP://User:pw@WWW.Ex.COM.:80/a?z=1&utm_source=t&a=2#frag",
+        "https://ex.com:443",
+        "https://ex.com:8443/a",
+        "http://ex.com:443/a",           # non-default for http: kept
+        "https://ex.com/?utm_source=o",  # all params dropped -> no '?'
+        "not a url",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["canonical_url"]
+           for r in canonicalize_urls(df, "url").collect()]
+    assert got[0] == "http://www.ex.com/a?a=2&z=1"
+    assert got[1] == "https://ex.com/"
+    assert got[2] == "https://ex.com:8443/a"
+    assert got[3] == "http://ex.com:443/a"
+    assert got[4] == "https://ex.com/"
+    assert got[5] is None
