@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_weighted_sample": q76_weighted_sample,
         "q77_html_extract": q77_html_extract,
         "q78_url_canonical_dedup": q78_url_canonical_dedup,
+        "q79_partitioned_sink": q79_partitioned_sink,
     }
 
 
@@ -2083,6 +2084,32 @@ def q78_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("canonical_url")
     )
+
+
+def q79_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + read-back audit manifest (round 6): documents
+    written as parquet into 16 md5-keyed bucket directories
+    (sources/sinks.write_partitioned — one co-locating exchange, sorted
+    within partitions so parquet page stats prune key lookups,
+    idempotent overwrite), then the manifest is computed from the files
+    ACTUALLY committed, never from the plan. Placement is
+    engine-independent (md5, not Spark's internal hash), so the DuckDB
+    oracle recomputes every key's bucket and the per-bucket
+    row-count/min/max WITHOUT running the sink — a wrong bucket, lost
+    row, or partial overwrite hash-mismatches. n_files is task-layout-
+    dependent and excluded from the oracled projection."""
+    import os
+    import tempfile
+
+    from json_schemer_spark.sources.sinks import write_partitioned
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"jss_q79_sink_{os.path.basename(os.path.normpath(sf_dir))}")
+    manifest = write_partitioned(docs, path, "doc_id", 16, seed="q79")
+    return manifest.select(
+        "bucket", "n_rows", "min_key", "max_key").orderBy("bucket")
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -4162,5 +4189,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n
             FROM canon GROUP BY canonical_url
             ORDER BY canonical_url
+        """,
+        "q79_partitioned_sink": """
+            SELECT CAST(CAST(('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || 'q79'), 1, 8))
+                       AS UBIGINT) % 16 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(doc_id) AS min_key,
+                   MAX(doc_id) AS max_key
+            FROM documents
+            GROUP BY 1 ORDER BY bucket
         """,
     }

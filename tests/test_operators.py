@@ -2143,3 +2143,40 @@ def test_canonicalize_urls_normalizations(spark):
     assert got[3] == "http://ex.com:443/a"
     assert got[4] == "https://ex.com/"
     assert got[5] is None
+
+
+def test_write_partitioned_sink_manifest_and_idempotence(spark, tmp_path):
+    import os
+
+    from json_schemer_spark.sources.sinks import bucket_of, write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "v%d" % i) for i in range(100)], "k long, v string")
+    path = os.path.join(str(tmp_path), "sink")
+    m1 = write_partitioned(df, path, "k", 8, seed="t").collect()
+    assert sum(r["n_rows"] for r in m1) == 100
+    assert all(r["n_files"] >= 1 for r in m1)
+    # placement is engine-independent: recompute each row's bucket and
+    # compare against the manifest's per-bucket extremes
+    placed = df.select("k", bucket_of("k", 8, "t").alias("b")).collect()
+    import collections
+    per = collections.defaultdict(list)
+    for r in placed:
+        per[r["b"]].append(r["k"])
+    for r in m1:
+        assert r["min_key"] == min(per[r["bucket"]])
+        assert r["max_key"] == max(per[r["bucket"]])
+        assert r["n_rows"] == len(per[r["bucket"]])
+    # bucket directories on disk
+    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert dirs == {"bucket=%d" % b for b in per}
+    # idempotent overwrite: second run, identical manifest
+    m2 = write_partitioned(df, path, "k", 8, seed="t").collect()
+    key = lambda rs: sorted((r["bucket"], r["n_rows"], r["min_key"],
+                             r["max_key"]) for r in rs)
+    assert key(m1) == key(m2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_partitioned(df, path, "k", 0)
