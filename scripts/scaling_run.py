@@ -170,19 +170,22 @@ elif job == "pagerank":
     # so the DataFrame is rebuilt per run; construction is constant
     # driver-side py4j work (~0.5 s), a disclosed slice of the timing.
     from json_schemer_spark.operators.graph import pagerank
-    # 4 hash-mixed edges per corpus row (32M edges from the 8M corpus):
-    # iterative jobs only scale out when the per-iteration payload
-    # amortizes the iteration-barrier floor (sequential stage latency +
-    # broadcast builds, ~9 s for 6 iterations here, cluster-size-
-    # independent). Measured: 0.38 @2M edges naive, 0.51-0.62 @8M after
-    # the repartition fix in graph.pagerank, >=0.8 @32M — the floor is
-    # noise at real edge-list sizes, which is the honest scale story.
+    # Measured honestly and recorded below target (0.619 @8M edges):
+    # iterative jobs carry a cluster-size-independent iteration-barrier
+    # floor (sequential stage latency + per-iteration broadcast builds,
+    # ~9 s for 6 iterations here). The round's real win is the
+    # found-and-fixed AQE-coalescing bug in graph.pagerank (projection
+    # inherited ~4 advisory-sized partitions, eff 0.35 -> 0.62 after the
+    # explicit repartition). Amplifying to 32M edges did NOT lift
+    # efficiency in this sandbox (0.44 measured): all executor JVMs
+    # share ONE host disk, so once shuffle+checkpoint I/O dominates,
+    # executor count is not the bottleneck resource — a single-host
+    # artifact a real cluster (per-node disks) does not have. Kept at
+    # 8M so the recorded artifact matches this script.
     K = 200_000
-    pairs = F.array(*[F.struct(
-        F.pmod(F.xxhash64(F.lit(i), F.col("repo")), F.lit(K)).alias("src"),
-        F.pmod(F.xxhash64(F.lit(i), F.col("path")), F.lit(K)).alias("dst"))
-        for i in range(4)])
-    edges = corpus.select(F.explode(pairs).alias("e")).select("e.src", "e.dst")
+    edges = corpus.select(
+        F.pmod(F.xxhash64("repo"), F.lit(K)).alias("src"),
+        F.pmod(F.xxhash64("path"), F.lit(K)).alias("dst"))
     def run_once():
         t0 = time.time()
         (pagerank(edges, n_iter=6)
