@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_html_extract": q77_html_extract,
         "q78_url_canonical_dedup": q78_url_canonical_dedup,
         "q79_partitioned_sink": q79_partitioned_sink,
+        "q80_key_skew_profile": q80_key_skew_profile,
     }
 
 
@@ -2110,6 +2111,24 @@ def q79_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_partitioned(docs, path, "doc_id", 16, seed="q79")
     return manifest.select(
         "bucket", "n_rows", "min_key", "max_key").orderBy("bucket")
+
+
+def q80_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle key-skew diagnostics (round 6): the question every
+    100-TB shuffle plan asks first — "is there a mega-key?" —
+    answered by stats.key_skew_profile over the corpus repo key (the
+    generator plants a mega-repo on purpose): one partial-aggregated
+    count per repo (map-side combine absorbs the very skew being
+    measured), WindowGroupLimit top-10 over the aggregated counts,
+    broadcast of the two scalar totals. share_ppm and the recommended
+    salt factor are floor-division forms over BIGINTs, so the DuckDB
+    oracle reproduces them bit-for-bit with its own window + floor."""
+    from json_schemer_spark.operators.stats import key_skew_profile
+
+    corpus = _corpus_cached(spark, 50_000)
+    return key_skew_profile(
+        corpus, ["repo"], top_k=10, target_partitions=200
+    ).orderBy("rank")
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -4199,5 +4218,32 @@ def oracle_sql() -> dict[str, str]:
                    MAX(doc_id) AS max_key
             FROM documents
             GROUP BY 1 ORDER BY bucket
+        """,
+        "q80_key_skew_profile": """
+            WITH counts AS (
+                SELECT repo, CAST(COUNT(*) AS BIGINT) AS n
+                FROM read_parquet('/tmp/jss_corpus_cache_50000/*.parquet')
+                GROUP BY repo
+            ),
+            totals AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS distinct_keys
+                FROM counts
+            ),
+            ranked AS (
+                SELECT row_number() OVER (ORDER BY n DESC, repo ASC)
+                           AS rank,
+                       repo, n
+                FROM counts
+            )
+            SELECT r.rank, r.repo, r.n,
+                   CAST(FLOOR(r.n * 1000000 / t.total) AS BIGINT)
+                       AS share_ppm,
+                   CAST(FLOOR((r.n * 200 + t.total - 1) / t.total)
+                       AS BIGINT) AS salt,
+                   t.distinct_keys
+            FROM ranked r CROSS JOIN totals t
+            WHERE r.rank <= 10
+            ORDER BY r.rank
         """,
     }

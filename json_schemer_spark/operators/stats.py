@@ -190,3 +190,47 @@ def top_k_per_group(df, group_cols, order_col, k, *, descending=True,
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
+
+
+def key_skew_profile(df, key_cols, *, top_k=20, target_partitions=200):
+    """Pre-shuffle skew diagnostics: the heaviest join/groupBy keys, each
+    key's traffic share, and the salt factor that would level it.
+
+    Every 100-TB shuffle plan starts with this question — "is there a
+    mega-key?" — because one key holding 10% of rows serializes 10% of
+    the stage into one task no matter how many executors exist. The
+    profile answers it BEFORE the expensive shuffle: one partial-
+    aggregated count per key (map-side combine absorbs the skew this
+    operator exists to find), a WindowGroupLimit top-k cut over the
+    aggregated counts, and a broadcast of the two scalar totals.
+
+    Returns ``(rank, *key_cols, n, share_ppm, salt, distinct_keys)``:
+    ``share_ppm`` = parts-per-million of all rows carried by the key;
+    ``salt`` = how many sub-splits bring the key's partitions down to
+    the fair share at ``target_partitions`` (1 = no salting needed) —
+    both computed in pure BIGINT arithmetic (``floor``-division forms)
+    so an external engine reproduces them bit-for-bit.
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    if target_partitions <= 0:
+        raise ValueError("target_partitions must be positive")
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+    )
+    top = top_k_per_group(
+        counts, [], "n", top_k,
+        tie_col=keys[0], rank_col="rank",
+    )
+    out = top.crossJoin(F.broadcast(totals))
+    n, tot = F.col("n"), F.col("__total")
+    return out.select(
+        "rank", *keys, "n",
+        F.floor(n * 1_000_000 / tot).cast("long").alias("share_ppm"),
+        F.floor((n * target_partitions + tot - 1) / tot)
+        .cast("long").alias("salt"),
+        "distinct_keys",
+    )

@@ -2180,3 +2180,30 @@ def test_write_partitioned_sink_manifest_and_idempotence(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_buckets"):
         write_partitioned(df, path, "k", 0)
+
+
+def test_key_skew_profile_values_and_salt(spark):
+    from json_schemer_spark.operators.stats import key_skew_profile
+
+    # key "hot" carries 60 of 100 rows; fair share at 10 partitions is
+    # 10 rows, so hot needs salt 6; "warm" 30 -> salt 3; tail 10x1 -> 1
+    rows = ([("hot",)] * 60 + [("warm",)] * 30 +
+            [("t%d" % i,) for i in range(10)])
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_profile(df, ["k"], top_k=3, target_partitions=10).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert (by_rank[1]["k"], by_rank[1]["n"], by_rank[1]["share_ppm"],
+            by_rank[1]["salt"]) == ("hot", 60, 600000, 6)
+    assert (by_rank[2]["k"], by_rank[2]["n"], by_rank[2]["salt"]) == (
+        "warm", 30, 3)
+    assert by_rank[3]["n"] == 1 and by_rank[3]["salt"] == 1
+    assert all(r["distinct_keys"] == 12 for r in got)
+    # deterministic tie-break among the 10 singleton keys
+    assert by_rank[3]["k"] == "t0"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="top_k"):
+        key_skew_profile(df, ["k"], top_k=0)
+    with pytest.raises(ValueError, match="target_partitions"):
+        key_skew_profile(df, ["k"], target_partitions=0)
