@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_url_canonical_dedup": q78_url_canonical_dedup,
         "q79_partitioned_sink": q79_partitioned_sink,
         "q80_key_skew_profile": q80_key_skew_profile,
+        "q81_incremental_dedup": q81_incremental_dedup,
     }
 
 
@@ -2129,6 +2130,34 @@ def q80_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         corpus, ["repo"], top_k=10, target_partitions=200
     ).orderBy("rank")
+
+
+def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup against a hash ledger (round 6):
+    batch 1 (doc_id < 300) is deduped and fingerprinted; batch 2's rows
+    (doc_id >= 300) re-use earlier texts on purpose — every 5th row
+    clones a batch-1 text (must be dropped by the LEDGER anti-join,
+    without re-reading batch 1's data) and the rest pair up within the
+    batch (ids 300+k and 400+k share a text — the IN-BATCH groupBy cut
+    keeps the lower id). dedup.incremental_dedup = one groupBy exchange
+    + one left-anti join against the ledger; the ledger is one md5 per
+    kept doc, ~3 orders smaller than the corpus it summarizes. The
+    DuckDB oracle re-derives both batches, the ledger and both cuts."""
+    from json_schemer_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") < 300)
+    _, ledger = incremental_dedup(b1, None, "text", "doc_id")
+
+    i = F.col("doc_id")
+    src = F.when(i % 5 == 0, i % 150).otherwise(300 + i % 100)
+    b2 = (
+        docs.where(i >= 300).select("doc_id", src.alias("src"))
+        .join(docs.select(F.col("doc_id").alias("src"), "text"), "src")
+        .select("doc_id", "text")
+    )
+    kept, _ = incremental_dedup(b2, ledger, "text", "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -4245,5 +4274,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r CROSS JOIN totals t
             WHERE r.rank <= 10
             ORDER BY r.rank
+        """,
+        "q81_incremental_dedup": """
+            WITH b2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN doc_id % 150
+                            ELSE 300 + doc_id % 100 END AS src
+                FROM documents WHERE doc_id >= 300
+            ),
+            b2t AS (
+                SELECT b.doc_id, t.text
+                FROM b2 b JOIN documents t ON t.doc_id = b.src
+            ),
+            ledger AS (
+                SELECT DISTINCT md5(text) AS h
+                FROM documents WHERE doc_id < 300
+            ),
+            inbatch AS (
+                SELECT MIN(doc_id) AS doc_id, md5(text) AS h
+                FROM b2t GROUP BY md5(text)
+            )
+            SELECT i.doc_id
+            FROM inbatch i LEFT JOIN ledger l ON l.h = i.h
+            WHERE l.h IS NULL
+            ORDER BY i.doc_id
         """,
     }

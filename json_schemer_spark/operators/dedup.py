@@ -937,3 +937,48 @@ def group_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("group_a", "group_b", "shared", "size_a", "size_b", "jaccard")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    ledger: DataFrame | None,
+    text_col: str,
+    id_col: str,
+):
+    """Continuous-ingestion exact dedup against a persisted hash LEDGER —
+    the production shape: yesterday's corpus is already deduped and
+    fingerprinted; today's batch must be deduped against BOTH itself and
+    everything ever kept, without ever re-reading the historical corpus
+    (at 100 TB the ledger — one md5 per kept doc — is ~3 orders of
+    magnitude smaller than the data it summarizes).
+
+    Returns ``(kept, new_ledger)``:
+
+    - ``kept`` — rows of ``new_df`` that survive: first (lowest id) per
+      content hash within the batch, minus any hash already in the
+      ledger. One groupBy exchange for the in-batch cut, one left-anti
+      join against the ledger (broadcast when the ledger is small, SMJ
+      at scale — Catalyst/AQE choose);
+    - ``new_ledger`` — ``ledger ∪ kept-hashes``, the input to tomorrow's
+      batch. Persist it with ``sinks.write_partitioned`` keyed on ``h``
+      so the anti-join co-locates run over run.
+
+    ``ledger`` is a DataFrame with a single ``h`` (md5 hex) column, or
+    None for the first batch. Deterministic: re-running a batch against
+    the PRE-batch ledger yields the same kept set (retry-idempotent).
+    """
+    h = F.md5(F.col(text_col))
+    in_batch = dedup_exact(new_df, text_col, id_col)
+    if ledger is None:
+        kept = in_batch
+    else:
+        kept = (
+            in_batch.withColumn("__h", h)
+            .join(ledger.select(F.col("h").alias("__h")), "__h", "left_anti")
+            .drop("__h")
+        )
+    new_hashes = kept.select(h.alias("h"))
+    new_ledger = new_hashes if ledger is None else (
+        ledger.select("h").unionByName(new_hashes)
+    )
+    return kept, new_ledger

@@ -2207,3 +2207,30 @@ def test_key_skew_profile_values_and_salt(spark):
         key_skew_profile(df, ["k"], top_k=0)
     with pytest.raises(ValueError, match="target_partitions"):
         key_skew_profile(df, ["k"], target_partitions=0)
+
+
+def test_incremental_dedup_ledger_semantics(spark):
+    from json_schemer_spark.operators.dedup import incremental_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "id long, text string")
+    k1, led1 = incremental_dedup(b1, None, "text", "id")
+    assert sorted(r["id"] for r in k1.collect()) == [1, 2]  # in-batch cut
+    assert led1.count() == 2
+
+    # batch 2: "bb" is a ledger dup (dropped without touching batch 1's
+    # rows), "cc" appears twice in-batch (lower id kept), "dd" is new
+    b2 = spark.createDataFrame(
+        [(10, "bb"), (11, "cc"), (12, "cc"), (13, "dd")],
+        "id long, text string")
+    k2, led2 = incremental_dedup(b2, led1, "text", "id")
+    assert sorted(r["id"] for r in k2.collect()) == [11, 13]
+    assert led2.count() == 4  # aa bb cc dd
+
+    # retry-idempotence: re-running batch 2 against the PRE-batch ledger
+    # reproduces the same kept set
+    k2b, _ = incremental_dedup(b2, led1, "text", "id")
+    assert sorted(r["id"] for r in k2b.collect()) == [11, 13]
+    # and running it against the POST-batch ledger keeps nothing
+    k3, _ = incremental_dedup(b2, led2, "text", "id")
+    assert k3.count() == 0
