@@ -4266,9 +4266,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             )
             SELECT r.rank, r.repo, r.n,
-                   CAST(FLOOR(r.n * 1000000 / t.total) AS BIGINT)
+                   CAST((r.n * 1000000) // t.total AS BIGINT)
                        AS share_ppm,
-                   CAST(FLOOR((r.n * 200 + t.total - 1) / t.total)
+                   CAST((r.n * 200 + t.total - 1) // t.total
                        AS BIGINT) AS salt,
                    t.distinct_keys
             FROM ranked r CROSS JOIN totals t

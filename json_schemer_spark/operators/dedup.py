@@ -977,6 +977,10 @@ def incremental_dedup(
             .join(ledger.select(F.col("h").alias("__h")), "__h", "left_anti")
             .drop("__h")
         )
+    # both returns derive from `kept`; without truncation the caller's
+    # natural "write kept, then write new_ledger" loop re-executes the
+    # groupBy + anti-join over the whole batch a second time
+    kept = kept.localCheckpoint(eager=False)
     new_hashes = kept.select(h.alias("h"))
     new_ledger = new_hashes if ledger is None else (
         ledger.select("h").unionByName(new_hashes)

@@ -73,12 +73,15 @@ def pagerank(
     # cores the cluster has — measured 4x-executor scaling efficiency
     # 0.35 before, because the per-iteration stage width, not the data,
     # was the bottleneck. An explicit numPartitions repartition is
-    # exempt from AQE coalescing, so the hot path keeps cluster width.
+    # exempt from AQE coalescing, so the hot path keeps cluster width —
+    # and hashing on src (not round-robin) keeps the projection
+    # co-partitioned with the per-iteration join key, so when the
+    # planner picks a shuffle join the edge side never moves again.
     if num_partitions is None:
         num_partitions = edges.sparkSession.sparkContext.defaultParallelism
     contrib_edges = (
         e.join(outdeg, "src")
-        .repartition(num_partitions)
+        .repartition(num_partitions, "src")
         .localCheckpoint(eager=False)
     )
     nodes = nodes.localCheckpoint(eager=False)

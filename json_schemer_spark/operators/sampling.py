@@ -195,20 +195,14 @@ def weighted_sample(
     from json_schemer_spark.operators.stats import top_k_per_group
 
     w = F.col(weight_col).cast("double")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        + 1
-    ) / F.lit(float(_HASH_SPACE + 1))
+    # the SAME md5-prefix uint32 convention as every sampler here
+    u = (hash_bucket(F.col(id_col), seed) + 1) / F.lit(
+        float(_HASH_SPACE + 1))
     scored = df.where(w > 0).withColumn("__es_key", F.log(u) / w)
     return (
         top_k_per_group(
-            scored, list(group_cols), "__es_key", k, tie_col=id_col
+            scored, list(group_cols), "__es_key", k,
+            tie_col=id_col, rank_col="__es_rank",
         )
-        .drop("__es_key", "rank")
+        .drop("__es_key", "__es_rank")
     )

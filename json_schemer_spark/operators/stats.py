@@ -226,11 +226,17 @@ def key_skew_profile(df, key_cols, *, top_k=20, target_partitions=200):
         tie_col=keys[0], rank_col="rank",
     )
     out = top.crossJoin(F.broadcast(totals))
-    n, tot = F.col("n"), F.col("__total")
+    # true BIGINT division (SQL `div`), NOT floor(double /): double
+    # quotients can differ by 1 ulp from an external engine's integer
+    # division once n * 1e6 passes 2^53. The long product itself is
+    # exact for n <= ~9.2e12 rows per key — beyond any real corpus.
     return out.select(
         "rank", *keys, "n",
-        F.floor(n * 1_000_000 / tot).cast("long").alias("share_ppm"),
-        F.floor((n * target_partitions + tot - 1) / tot)
-        .cast("long").alias("salt"),
+        F.expr("n * CAST(1000000 AS BIGINT) div __total")
+        .alias("share_ppm"),
+        F.expr(
+            f"(n * CAST({int(target_partitions)} AS BIGINT) + __total - 1)"
+            " div __total"
+        ).alias("salt"),
         "distinct_keys",
     )

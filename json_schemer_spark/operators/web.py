@@ -214,6 +214,12 @@ _HTML_BLOCK_RES = (
     r"(?is)<script[^>]*>.*?</script>",
     r"(?is)<style[^>]*>.*?</style>",
     r"(?s)<!--.*?-->",
+    # truncated pages: an UNTERMINATED script/style/comment opened after
+    # all terminated pairs are gone must drop to end-of-text, or raw
+    # JS/CSS source leaks into the extracted corpus text
+    r"(?is)<script[^>]*>.*$",
+    r"(?is)<style[^>]*>.*$",
+    r"(?s)<!--.*$",
     r"<[^>]+>",
     r"<[^>]*$",  # unterminated trailing tag (truncated page)
 )

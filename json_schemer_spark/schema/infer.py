@@ -52,9 +52,20 @@ _ARR_CAST = "array<variant>"
 
 
 def _escape_pointer_token(key: Column) -> Column:
-    """RFC 6901 token escaping: ``~`` -> ``~0`` first, then ``/`` -> ``~1``."""
+    """RFC 6901 token escaping (``~`` -> ``~0`` first, then ``/`` ->
+    ``~1``) plus one private extension: a literal object key ``*`` ->
+    ``~2``, so it can never collide with the profile's array-element
+    sentinel ``*`` (without this, ``{"m":{"*":5}}`` and ``{"m":[5]}``
+    would both profile as pointer ``/m/*`` and infer_schema would merge
+    an object key into ``items``). Round-trip safe: a literal ``~2``
+    key escapes to ``~02``, which unescapes (``~2`` first, then ``~1``,
+    then ``~0``) back to ``~2``."""
     return F.replace(
-        F.replace(key, F.lit("~"), F.lit("~0")), F.lit("/"), F.lit("~1")
+        F.replace(
+            F.replace(key, F.lit("~"), F.lit("~0")),
+            F.lit("/"), F.lit("~1"),
+        ),
+        F.lit("*"), F.lit("~2"),
     )
 
 
@@ -176,7 +187,7 @@ def _parent_of(pointer: str) -> str:
 
 
 def _unescape_token(token: str) -> str:
-    return token.replace("~1", "/").replace("~0", "~")
+    return token.replace("~2", "*").replace("~1", "/").replace("~0", "~")
 
 
 def infer_schema(

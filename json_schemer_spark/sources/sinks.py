@@ -25,23 +25,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-_HASH_SPACE = 1 << 32
+from json_schemer_spark.operators.sampling import hash_bucket
 
 
 def bucket_of(key_col: str, n_buckets: int, seed: str = "") -> F.Column:
     """Engine-independent bucket id: first 8 md5 hex digits of
-    ``key || seed`` as a uint32, mod ``n_buckets``. Replayable anywhere
-    md5 exists (DuckDB: ``CAST('0x' || substr(md5(..),1,8) AS UBIGINT)``)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        % n_buckets
-    )
+    ``key || seed`` as a uint32 (the ONE hash convention shared with
+    ``operators.sampling.hash_bucket``), mod ``n_buckets``. Replayable
+    anywhere md5 exists (DuckDB:
+    ``CAST('0x' || substr(md5(..),1,8) AS UBIGINT)``)."""
+    return hash_bucket(F.col(key_col), seed) % n_buckets
 
 
 def write_partitioned(
@@ -75,7 +68,25 @@ def write_partitioned(
         out = out.sortWithinPartitions("bucket", key_col)
     (out.write.mode("overwrite").partitionBy("bucket").parquet(path))
 
-    back = df.sparkSession.read.parquet(path).withColumn(
+    try:
+        back = df.sparkSession.read.parquet(path)
+    except Exception:
+        # a zero-row write commits no data files, so the read-back
+        # can't infer a schema — a legitimately empty batch must return
+        # an empty manifest, not crash after a successful write (and
+        # checking via out.isEmpty() would re-execute the whole plan)
+        return (
+            out.limit(0)
+            .groupBy(F.col("bucket").cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(key_col).alias("min_key"),
+                F.max(key_col).alias("max_key"),
+                F.count(F.lit(1)).alias("n_files"),
+            )
+        )
+
+    back = back.withColumn(
         "__file", F.input_file_name()  # projected pre-agg: non-deterministic
     )                                  # exprs are invalid inside agg()
     return (

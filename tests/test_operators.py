@@ -2234,3 +2234,36 @@ def test_incremental_dedup_ledger_semantics(spark):
     # and running it against the POST-batch ledger keeps nothing
     k3, _ = incremental_dedup(b2, led2, "text", "id")
     assert k3.count() == 0
+
+
+def test_write_partitioned_empty_batch_returns_empty_manifest(spark, tmp_path):
+    import os
+
+    from json_schemer_spark.sources.sinks import write_partitioned
+
+    df = spark.createDataFrame([], "k long, v string")
+    path = os.path.join(str(tmp_path), "empty_sink")
+    m = write_partitioned(df, path, "k", 4)
+    assert m.count() == 0
+    assert m.columns == ["bucket", "n_rows", "min_key", "max_key", "n_files"]
+
+
+def test_strip_html_unterminated_script_does_not_leak(spark):
+    from json_schemer_spark.operators.web import strip_html
+
+    df = spark.createDataFrame(
+        [("<p>hi</p><script>var secret = fetch('x'",),
+         ("<p>a</p><style>p{color:red",),
+         ("<p>b</p><!-- cut off",)],
+        "h string")
+    got = [r["text"] for r in strip_html(df, "h").collect()]
+    assert got == ["hi", "a", "b"]
+
+
+def test_weighted_sample_preserves_user_rank_column(spark):
+    from json_schemer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 99), (2, 1.0, 98)], "id long, w double, rank long")
+    got = weighted_sample(df, "id", "w", 2).collect()
+    assert sorted((r["id"], r["rank"]) for r in got) == [(1, 99), (2, 98)]
