@@ -218,6 +218,15 @@ def main() -> None:
         "q68_repo_fork_dedup",
         "q71_interval_join",
         "q72_pagerank",
+        # round 6 (session 7): four more plan classes — q73 the Expand
+        # sliding-window generator, q74 the multi-level variant walk
+        # (checkpointed frontiers), q79 the partitioned write +
+        # read-back manifest, q81 the ledger anti-join. q75/q76/q78/q80
+        # are narrow maps or compositions of already-benched classes.
+        "q73_sliding_windows",
+        "q74_schema_infer",
+        "q79_partitioned_sink",
+        "q81_incremental_dedup",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {"corpus_validation": round(val_sec, 3)}
