@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_partitioned_sink": q79_partitioned_sink,
         "q80_key_skew_profile": q80_key_skew_profile,
         "q81_incremental_dedup": q81_incremental_dedup,
+        "q82_deep_schema_infer": q82_deep_schema_infer,
     }
 
 
@@ -2158,6 +2159,39 @@ def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept, _ = incremental_dedup(b2, ledger, "text", "doc_id")
     return kept.select("doc_id").orderBy("doc_id")
+
+
+def q82_deep_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-nesting coverage for the variant pointer walk (round 6):
+    q74's corpus is ≤3 levels, so this one drives the shapes that break
+    naive walkers — OBJECTS INSIDE ARRAYS (the `/rows/*/w` pointer: one
+    document contributes once per element; required-detection counts
+    per-object, not per-doc), a key present on only SOME array elements
+    (tags), a 4-deep object chain, and per-element varying array
+    lengths. Same all-JVM walk, one (pointer, type) exchange. The
+    DuckDB oracle chains unnest through the array-of-objects level and
+    re-derives every pointer's stats."""
+    from json_schemer_spark.schema.infer import json_pointer_profile
+
+    i = F.col("doc_id")
+    tags = F.when(
+        i % 3 != 0,
+        F.when(i % 2 == 0, F.lit(',"tags":["g0"]')).otherwise(
+            F.lit(',"tags":["g0","g1"]'))
+    ).otherwise(F.lit(""))
+    doc = F.concat(
+        F.lit('{"rows":[{"w":'), (i % 7).cast("string"), tags,
+        F.lit('},{"w":'), (i % 7 + 1).cast("string"),
+        F.lit('}],"cfg":{"opts":{"deep":{"x":'), (i % 3).cast("string"),
+        F.lit("}}}}"))
+    docs = _t(spark, sf_dir, "documents").select(doc.alias("j"))
+    prof = json_pointer_profile(docs, "j", max_depth=5)
+    return prof.select(
+        "pointer", "jtype", "n",
+        F.round("min_num", 6).alias("min_num"),
+        F.round("max_num", 6).alias("max_num"),
+        F.col("min_len").cast("long").alias("min_len"),
+        F.col("max_len").cast("long").alias("max_len"))
 
 
 def _pagerank_ctes(n_iter: int) -> str:
@@ -4298,5 +4332,61 @@ def oracle_sql() -> dict[str, str]:
             FROM inbatch i LEFT JOIN ledger l ON l.h = i.h
             WHERE l.h IS NULL
             ORDER BY i.doc_id
+        """,
+        "q82_deep_schema_infer": """
+            WITH docs AS (
+                SELECT doc_id,
+                       '{"rows":[{"w":' || (doc_id % 7) ||
+                       CASE WHEN doc_id % 3 != 0 THEN
+                            CASE WHEN doc_id % 2 = 0
+                                 THEN ',"tags":["g0"]'
+                                 ELSE ',"tags":["g0","g1"]' END
+                       ELSE '' END ||
+                       '},{"w":' || (doc_id % 7 + 1) ||
+                       '}],"cfg":{"opts":{"deep":{"x":' || (doc_id % 3) ||
+                       '}}}}' AS j
+                FROM documents
+            ),
+            robj AS (
+                SELECT doc_id,
+                       unnest(CAST(json_extract(j, '$.rows') AS JSON[]))
+                           AS e
+                FROM docs
+            ),
+            nodes AS (
+                SELECT '' AS pointer, 'object' AS jtype,
+                       NULL::DOUBLE AS num, NULL::BIGINT AS len FROM docs
+                UNION ALL
+                SELECT '/rows', 'array', NULL, NULL FROM docs
+                UNION ALL
+                SELECT '/rows/*', 'object', NULL, NULL FROM robj
+                UNION ALL
+                SELECT '/rows/*/w', 'integer',
+                       CAST(json_extract(e, '$.w') AS DOUBLE), NULL
+                FROM robj
+                UNION ALL
+                SELECT '/rows/*/tags', 'array', NULL, NULL
+                FROM robj WHERE json_type(e, '$.tags') IS NOT NULL
+                UNION ALL
+                SELECT '/rows/*/tags/*', 'string', NULL, length(t)
+                FROM (SELECT unnest(CAST(json_extract(e, '$.tags')
+                                         AS VARCHAR[])) AS t FROM robj)
+                UNION ALL
+                SELECT '/cfg', 'object', NULL, NULL FROM docs
+                UNION ALL
+                SELECT '/cfg/opts', 'object', NULL, NULL FROM docs
+                UNION ALL
+                SELECT '/cfg/opts/deep', 'object', NULL, NULL FROM docs
+                UNION ALL
+                SELECT '/cfg/opts/deep/x', 'integer',
+                       CAST(json_extract(j, '$.cfg.opts.deep.x')
+                            AS DOUBLE), NULL
+                FROM docs
+            )
+            SELECT pointer, jtype, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(MIN(num), 6) AS min_num,
+                   ROUND(MAX(num), 6) AS max_num,
+                   MIN(len) AS min_len, MAX(len) AS max_len
+            FROM nodes GROUP BY pointer, jtype
         """,
     }
