@@ -203,7 +203,8 @@ def _vocab_compatible(nd: Dialect, d: Dialect) -> bool:
     return asserts_formats(nd) == asserts_formats(d)
 
 
-def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
+def inline_refs(schema: Any, dialect: Dialect, registry: Any = None,
+                unroll_budget: int | None = None) -> Any:
     """Inline ``$ref`` targets at compile time; cyclic refs unroll to a
     bounded depth with per-row routing markers (round 5).
 
@@ -243,6 +244,8 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
     # anchors' *dynamic* behavior only materializes through
     # $dynamicRef/$recursiveRef, which _check rejects wherever they
     # survive inlining, so inert anchors are safe to inline past.
+    budget = _UNROLL_BUDGET if unroll_budget is None else unroll_budget
+
     rebinding = set()
     if registry is None:
         rebinding.add(dialect.id_keyword)
@@ -400,7 +403,7 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                 visits = [d for k, d in stack if k == tkey]
                 if visits and visits[-1] == idepth:
                     raise Unsupported(f"cyclic {dkw} without instance progress")
-                if len(visits) >= _UNROLL_BUDGET:
+                if len(visits) >= budget:
                     dyn_targets.append(ROUTE_MARKER)
                 else:
                     dyn_targets.append(
@@ -421,7 +424,7 @@ def inline_refs(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
                 # re-entry without consuming instance depth: unrolling can
                 # never terminate this per row → interpreter tier
                 raise Unsupported(f"cyclic $ref {ref!r} without instance progress")
-            if len(visits) >= _UNROLL_BUDGET:
+            if len(visits) >= budget:
                 target = ROUTE_MARKER
             else:
                 target = walk(raw_target, stack + ((tkey, idepth),), idepth,
@@ -558,9 +561,11 @@ def _cost(schema: Any, dialect: Dialect, elem_weight: int = 1) -> int:
     return total
 
 
-def prepare(schema: Any, dialect: Dialect, registry: Any = None) -> Any:
+def prepare(schema: Any, dialect: Dialect, registry: Any = None,
+            unroll_budget: int | None = None) -> Any:
     """Inline refs + verify lowerable; returns the inlined schema."""
-    inlined = inline_refs(schema, dialect, registry=registry)
+    inlined = inline_refs(schema, dialect, registry=registry,
+                          unroll_budget=unroll_budget)
     _check(inlined, dialect)
     _cost(inlined, dialect)
     return inlined

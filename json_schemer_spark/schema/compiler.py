@@ -49,6 +49,7 @@ class CompiledSchema:
         content_encodings: Optional[dict[str, Callable]] = None,
         content_media_types: Optional[dict[str, Callable]] = None,
         i18n_messages: Optional[dict[str, str]] = None,
+        unroll_budget: Optional[int] = None,
     ) -> None:
         if isinstance(schema, str):
             schema = json.loads(schema)
@@ -63,6 +64,12 @@ class CompiledSchema:
         self._ref_resolver = ref_resolver
         self._base_uri = base_uri
         self._dialect_arg = dialect
+        # Round 7 (optimization): callers that KNOW their corpus depth
+        # distribution can deepen the cyclic-$ref unroll so more (or all)
+        # rows get pure-Column verdicts instead of riding the interpreter
+        # tier. Verdicts are tier-independent (differential-fuzz pinned);
+        # only the routed fraction changes. None = columnar._UNROLL_BUDGET.
+        self._unroll_budget = unroll_budget
         self._ext_opts = dict(
             before_property_validation=before_property_validation,
             after_property_validation=after_property_validation,
@@ -282,6 +289,7 @@ class CompiledSchema:
                     self._prepared = prepare(
                         self.schema, self._lowering_dialect(),
                         registry=self._evaluator.registry,
+                        unroll_budget=self._unroll_budget,
                     )
                 except (Unsupported, OverflowError):
                     self._prepared = None
