@@ -7,10 +7,14 @@ Classic BPE trains on the *distinct-word frequency table*, not the raw
 token stream — so the ONE corpus-sized shuffle here is the initial
 partial-aggregated word count; every merge iteration afterwards runs
 over the (much smaller, persisted) distinct-word table. At web scale
-that table is ~10^8-10^9 rows: each iteration is one exchange-free pass
-(the pair-count aggregation partial-aggs map-side, and the argmax that
-reaches the driver is ONE row — the learned parameter itself, the same
-contract as the IVF k-means centroids in operators/similarity.py).
+that table is ~10^8-10^9 rows: each pass is one exchange-free pair count
+(the aggregation partial-aggs map-side), and only the top few rows —
+the learned parameters themselves — reach the driver, the same contract
+as the IVF k-means centroids in operators/similarity.py. Round 7: one
+pass learns a BATCH of merges (the maximal symbol-disjoint prefix of
+the sorted pair counts — provably the same sequence the one-merge-per-
+pass loop learns), so training 32k merges needs ~thousands of passes,
+not 32k.
 
 Symbol sequences are encoded as wrapped strings — every symbol is
 ``SEP + sym + SEP`` concatenated — so applying a merge is a single JVM
@@ -63,7 +67,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
     merges = []
     prev = None
     try:
-        for rank in range(1, n_merges + 1):
+        while len(merges) < n_merges:
             words = words.persist()
             sym = F.split(
                 F.expr("substring(s, 2, length(s)-2)"), SEP + SEP
@@ -84,24 +88,48 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("freq").alias("cnt"))
             )
-            best = (
-                pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+            remaining = n_merges - len(merges)
+            top = (
+                pairs.orderBy(F.desc("cnt"), "l", "r")
+                .limit(remaining).collect()
             )
             if prev is not None:
                 prev.unpersist()
             prev = words
-            if not best:
+            if not top:
                 break
-            l, r, cnt = best[0].l, best[0].r, best[0].cnt
-            merges.append((rank, l, r, int(cnt)))
-            words = words.select(
-                "freq",
-                F.replace(
-                    F.col("s"),
-                    F.lit(SEP + l + SEP + SEP + r + SEP),
-                    F.lit(SEP + l + r + SEP),
-                ).alias("s"),
-            )
+            # Round 7 (guide §1.2 / r6 verdict "What's wrong #3"): the
+            # sequential form ran ONE Spark job + driver argmax per merge
+            # — 32k merges would be 32k sequential jobs. Batch instead:
+            # from one pair-count snapshot, take the maximal PREFIX of
+            # the (cnt desc, l, r)-sorted pairs that is pairwise
+            # symbol-disjoint, stopping at the first candidate touching
+            # any symbol this batch consumed OR produced. Merging (a, b)
+            # can only change counts of pairs adjacent to a, b, or the
+            # new compound "ab" (a compound can also collide with an
+            # ORIGINAL symbol spelled "ab", hence produced strings are in
+            # the stop set) — every earlier-ranked pair is in the batch
+            # and disjoint, so each selected pair's count, rank and
+            # tie-break are exactly what the sequential recount would
+            # have produced. The learned merge table is bit-identical
+            # (q57's per-merge CTE oracle re-verifies it); only the job
+            # count drops — toward O(n_merges / batch) driver roundtrips.
+            used: set[str] = set()
+            batch = []
+            for row in top:
+                if row.l in used or row.r in used:
+                    break
+                batch.append(row)
+                used.update((row.l, row.r, row.l + row.r))
+            col = F.col("s")
+            for row in batch:
+                merges.append((len(merges) + 1, row.l, row.r, int(row.cnt)))
+                col = F.replace(
+                    col,
+                    F.lit(SEP + row.l + SEP + SEP + row.r + SEP),
+                    F.lit(SEP + row.l + row.r + SEP),
+                )
+            words = words.select("freq", col.alias("s"))
     finally:
         if prev is not None:
             prev.unpersist()

@@ -88,9 +88,21 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(n_iter):
+        # Round 7 (guide §3.1, r6 verdict): the static planner used to
+        # BROADCAST the ranks side of this join — a per-iteration driver
+        # collect + build + ship to every executor, serialized behind the
+        # iteration barrier (the broadcast cannot start until the previous
+        # iteration's aggregation finishes, and every executor must
+        # receive it before the next probe stage starts). The
+        # shuffle_hash hint keeps the join co-partitioned instead: the
+        # checkpointed edge projection is ALREADY hash-partitioned on
+        # src, so it never moves; only the (node, rank) table — one
+        # narrow row per node — shuffles, and that exchange grows with
+        # the cluster instead of funneling through the driver.
         contribs = (
             contrib_edges.join(
-                ranks, contrib_edges["src"] == ranks["node"]
+                ranks.hint("shuffle_hash"),
+                contrib_edges["src"] == ranks["node"],
             )
             .select(
                 F.col("dst").alias("node"),
@@ -99,7 +111,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes.join(contribs.hint("shuffle_hash"), "node", "left").select(
             "node",
             (F.lit(1.0 - damping)
              + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))

@@ -250,11 +250,17 @@ def sliding_window_agg(
     (window_start, window_end, *key_cols) with the aggregates applied.
     """
 
-    def _secs(d: str) -> float:
+    def _secs(d: str) -> int:
+        # Integer-seconds parsing (round-7 ADVICE): float parsing
+        # accepted fractional durations ("1.5 hours") that F.window may
+        # reject or round differently, and did the whole-multiple check
+        # in float modulo. The accepted grammar here is a strict subset
+        # of what F.window parses: '<positive int> <unit>'.
         parts = d.strip().split()
-        if len(parts) != 2:
-            raise ValueError(f"duration must be '<n> <unit>', got {d!r}")
-        n = float(parts[0])
+        if len(parts) != 2 or not parts[0].isdigit():
+            raise ValueError(
+                f"duration must be '<integer n> <unit>', got {d!r}")
+        n = int(parts[0])
         unit = parts[1].rstrip("s")
         mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
         if unit not in mult:
@@ -270,10 +276,20 @@ def sliding_window_agg(
             f"({slide}); ragged ratios give per-row-varying overlap "
             "counts and are not replayable")
     keys = list(key_cols)
+    # alias-collision guard (round-7 ADVICE): an aggregate aliased as
+    # "window"/"window_start"/"window_end" or shadowing a key column
+    # used to be silently dropped from the result.
+    reserved = {"window", "window_start", "window_end", *keys}
     out = events.groupBy(
         F.window(F.col(time_col), window, slide), *keys
     ).agg(*aggs)
     agg_names = [c for c in out.columns if c != "window" and c not in keys]
+    if len(agg_names) != len(aggs) or any(
+        a in ("window_start", "window_end") for a in agg_names
+    ):
+        raise ValueError(
+            "aggregate aliases must not collide with "
+            f"{sorted(reserved)}")
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),

@@ -383,16 +383,23 @@ def ngram_contamination(
     tokens survive with ``n_grams = 0`` (explode_outer)."""
     gram = word_ngrams(F.col(text_col), n)
     bench_grams = (
-        bench_df.select(F.explode(gram).alias("__ct_gram"))
+        bench_df.select(F.explode(F.array_distinct(gram)).alias("__ct_gram"))
         .distinct()
         .withColumn("__ct_hit", F.lit(1))
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
+    # Round 7 (guide §2.3): per-document gram dedup needs NO exchange — a
+    # document's grams live in one array cell, so array_distinct() inside
+    # the projection replaces the old corpus-wide DISTINCT(id, gram)
+    # shuffle (which moved every distinct gram STRING across the wire).
+    # After the broadcast join, the per-doc aggregation partial-aggregates
+    # map-side down to one narrow row per document before its exchange —
+    # the only shuffle left carries (id, two ints).
     train_grams = train_df.select(
         F.col(id_col).alias("__ct_id"),
-        F.explode_outer(gram).alias("__ct_gram"),
-    ).distinct()
+        F.explode_outer(F.array_distinct(gram)).alias("__ct_gram"),
+    )
     joined = train_grams.join(bench_grams, on="__ct_gram", how="left")
     n_grams = F.sum(
         F.when(F.col("__ct_gram").isNotNull(), 1).otherwise(0)).cast("int")

@@ -62,29 +62,32 @@ def write_partitioned(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    # reserved working columns (round-7 ADVICE): a pre-existing `bucket`
+    # column would be silently overwritten (its data lost from the
+    # written files — partitionBy consumes the synthetic one), and a
+    # pre-existing `__file` would corrupt the read-back's file count.
+    for reserved in ("bucket", "__file"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"write_partitioned reserves the column name {reserved!r}; "
+                "rename it before writing"
+            )
     out = df.withColumn("bucket", bucket_of(key_col, n_buckets, seed))
     out = out.repartition(n_buckets, "bucket")
     if sort_within:
         out = out.sortWithinPartitions("bucket", key_col)
     (out.write.mode("overwrite").partitionBy("bucket").parquet(path))
 
-    try:
-        back = df.sparkSession.read.parquet(path)
-    except Exception:
-        # a zero-row write commits no data files, so the read-back
-        # can't infer a schema — a legitimately empty batch must return
-        # an empty manifest, not crash after a successful write (and
-        # checking via out.isEmpty() would re-execute the whole plan)
-        return (
-            out.limit(0)
-            .groupBy(F.col("bucket").cast("long").alias("bucket"))
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min(key_col).alias("min_key"),
-                F.max(key_col).alias("max_key"),
-                F.count(F.lit(1)).alias("n_files"),
-            )
-        )
+    # Read back with an EXPLICIT schema (round-7 ADVICE): schema
+    # inference on a zero-row commit (no data files) raises, and the old
+    # bare `except Exception` around it also swallowed GENUINE read
+    # failures after a non-empty write — corrupt footer, permissions,
+    # listing lag — reporting them as an empty batch, the exact anomaly
+    # class a verify-don't-trust manifest exists to surface. With the
+    # schema supplied, an empty commit is just an empty DataFrame and
+    # every real read error propagates.
+    read_schema = out.schema
+    back = df.sparkSession.read.schema(read_schema).parquet(path)
 
     back = back.withColumn(
         "__file", F.input_file_name()  # projected pre-agg: non-deterministic

@@ -32,8 +32,18 @@ def normalize(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json <path>: also write a machine-readable artifact (round-7
+    # verdict ask #2 — the driver's CORRECTNESS file stops at ~50
+    # queries, so the full local sweep is committed each round).
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -63,11 +73,13 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL {name}: spark error {type(exc).__name__}: {str(exc)[:200]}")
+            results[name] = {"status": "fail", "reason": f"spark error {type(exc).__name__}"}
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             n_rowsonly += 1
             continue
         try:
@@ -76,25 +88,40 @@ def main():
             orows = res.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error {type(exc).__name__}: {str(exc)[:200]}")
+            results[name] = {"status": "fail", "reason": f"duckdb error {type(exc).__name__}"}
             n_fail += 1
             continue
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             print(f"FAIL {name}: column mismatch spark={sorted(scols)} duck={sorted(ocols)}")
+            results[name] = {"status": "fail", "reason": "column mismatch"}
             n_fail += 1
             continue
         a = normalize(srows, [c.lower() for c in scols])
         b = normalize(orows, [c.lower() for c in ocols])
         if len(a) != len(b):
             print(f"FAIL {name}: row count spark={len(a)} duck={len(b)}")
+            results[name] = {"status": "fail", "reason": "row count mismatch"}
             n_fail += 1
         elif a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            results[name] = {"status": "fail", "reason": "value mismatch"}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(a)} rows")
+            results[name] = {"status": "pass", "rows": len(a)}
             n_pass += 1
     print(f"\nRESULT: {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump({
+                "sf_dir": sf_dir,
+                "n_pass": n_pass, "n_fail": n_fail, "n_rows_only": n_rowsonly,
+                "queries": results,
+            }, fh, indent=1)
+            fh.write("\n")
     return 1 if n_fail else 0
 
 

@@ -1582,6 +1582,64 @@ def test_bpe_train(spark):
         bpe_train(docs, "text", n_merges=0)
 
 
+def test_bpe_train_batched_matches_sequential(spark):
+    """Round 7: bpe_train learns a BATCH of symbol-disjoint merges per
+    pair-count pass (one Spark job per batch instead of per merge). The
+    learned table must be bit-identical to the one-merge-at-a-time
+    recurrence — verified here against a pure-Python sequential
+    reference on corpora with tie-breaks, dependent merges (compound
+    re-pairing, which forces the batch to stop), and a compound/original
+    symbol spelling collision ('ab' exists as a word while (a, b) is
+    also a top pair)."""
+    import re
+    from collections import Counter
+
+    from json_schemer_spark.operators.bpe import bpe_train
+
+    def reference(texts, n_merges):
+        words = Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t.lower()):
+                if w:
+                    words[w] += 1
+        seqs = {w: tuple(w) for w in words}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = Counter()
+            for w, syms in seqs.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] += words[w]
+            if not counts:
+                break
+            (l, r), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((rank, l, r, cnt))
+            for w, syms in seqs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                seqs[w] = tuple(out)
+        return merges
+
+    corpora = [
+        ["low low low", "lower lower", "newest"],          # dependent merges
+        ["ab ab ab", "a b a b a b a b", "abc"],            # compound collision
+        ["xy xy yz yz zx zx", "xyz zyx"],                  # three-way ties
+        ["aaaa aa a", "bbbb bb"],                          # self-pairs (runs)
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [(r.rank, r.left_sym, r.right_sym, r.pair_count)
+               for r in bpe_train(docs, "text", n_merges=6)
+               .orderBy("rank").collect()]
+        assert got == reference(texts, 6), texts
+
+
 def test_asof_join(spark):
     """Round 6: backward as-of join — <= tie matching, per-key isolation,
     null for no prior right row, atomic matched-row semantics (a null
