@@ -159,7 +159,7 @@ def q03_enum_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q04_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column null counts + exact distinct counts in ONE pass."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", spread=True)
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     aggs = []
     for c in cols:
@@ -618,7 +618,7 @@ def q33_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schemer_spark.operators.dedup import dup_clusters
     from json_schemer_spark.operators.similarity import neardup_pairs_exact_arrow
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     pairs = neardup_pairs_exact_arrow(emb, threshold=0.42).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return dup_clusters(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
@@ -1455,7 +1455,7 @@ def q57_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derived per level with DuckDB's own primitives."""
     from json_schemer_spark.operators.bpe import bpe_train
 
-    docs = _t(spark, sf_dir, "documents").select("text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("text")
     return bpe_train(docs, "text", n_merges=8)
 
 
@@ -1522,7 +1522,7 @@ def q60_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels itself — train and apply both graded end to end."""
     from json_schemer_spark.operators.bpe import bpe_encode, bpe_train
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     merge_rows = bpe_train(docs, "text", n_merges=8).orderBy("rank").collect()
     merges = [(r.left_sym, r.right_sym) for r in merge_rows]
     return bpe_encode(docs, "text", merges).select(

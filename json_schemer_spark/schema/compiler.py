@@ -31,6 +31,10 @@ _UNSET = object()  # sentinel for the memoized prepare() slot
 class CompiledSchema:
     """A compiled constraint plan for one JSON Schema document."""
 
+    # class-level default: subclasses with bespoke __init__ (OpenAPISchema)
+    # inherit "no override" without having to set the instance attribute
+    _unroll_budget: Optional[int] = None
+
     def __init__(
         self,
         schema: Any,

@@ -141,6 +141,20 @@ def check_full() -> tuple[list[str], list[str]]:
     n_o = len(entry.oracle_sql())
     expect(coverage_md, "COVERAGE.md", f"{n_q} `queries()` entries", "query count")
     expect(coverage_md, "COVERAGE.md", f"{n_o} DuckDB-oracled", "oracle count")
+    # round-7 (r6 verdict ask #5): the per-query correctness paragraph in
+    # BENCH.md is gate-anchored too — counts derive from entry + the
+    # newest committed full-sweep artifact, so drift goes red.
+    oracles_path = _newest("ORACLES_r*.json")
+    if oracles_path:
+        o = _load(oracles_path)
+        expect(bench_md, "BENCH.md", f"{n_q} `queries()` entries",
+               "correctness query count")
+        expect(
+            bench_md, "BENCH.md",
+            f"{o['n_pass']} pass / {o['n_fail']} fail / "
+            f"{o['n_rows_only']} rows-only",
+            f"full-sweep result ({os.path.basename(oracles_path)})",
+        )
     n_golden = len(glob.glob(os.path.join(REPO, "fixtures", "golden", "*.json")))
     if n_golden:
         expect(coverage_md, "COVERAGE.md", f"{n_golden} golden-fixture", "golden count")
@@ -198,6 +212,20 @@ def _gate_lines() -> dict[str, str]:
                 f"≥ {j['target']} — {jok}** "
                 f"(low {j['low']['min_sec']} s / high {j['high']['min_sec']} s, min-of-{len(j['low']['times'])})."
             )
+    oracles_path = _newest("ORACLES_r*.json")
+    if oracles_path:
+        o = _load(oracles_path)
+        import __spark_entry__ as entry
+
+        n_q = len(entry.queries())
+        n_o = len(entry.oracle_sql())
+        lines["correctness-counts"] = (
+            f"Correctness signal per query: {n_q} `queries()` entries, "
+            f"{n_o} of them DuckDB value-oracled — newest committed full "
+            f"local sweep ({os.path.basename(oracles_path)}): "
+            f"{o['n_pass']} pass / {o['n_fail']} fail / "
+            f"{o['n_rows_only']} rows-only at sf0.01."
+        )
     return lines
 
 

@@ -1582,6 +1582,35 @@ def test_bpe_train(spark):
         bpe_train(docs, "text", n_merges=0)
 
 
+def test_numeric_quantiles_matches_percentile(spark):
+    """Round 7: numeric_quantiles was rebuilt from a single-reducer
+    F.percentile aggregation into parallel order statistics (groupBy
+    value + cumulative counts + Spark's own interpolation formula).
+    Results must stay BIT-identical to F.percentile — including null
+    handling, duplicate-heavy columns, integral-rank positions and the
+    empty-input null row."""
+    import pyspark.sql.functions as F
+
+    from json_schemer_spark.operators.stats import numeric_quantiles
+
+    rows = [(float(i % 7), float(i) * 1.37, None if i % 3 == 0 else float(i % 2))
+            for i in range(101)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    probs = (0.25, 0.5, 0.75, 0.95)
+    got = {r["column"]: tuple(r)[1:]
+           for r in numeric_quantiles(df, ["a", "b", "c"], probs).collect()}
+    for col in ["a", "b", "c"]:
+        exp = tuple(df.agg(*[
+            F.percentile(F.col(col), F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in probs
+        ]).collect()[0])
+        assert got[col] == exp, (col, got[col], exp)
+    # empty input: one row per column, all-null quantiles (old behavior)
+    empty = numeric_quantiles(df.limit(0), ["a", "b"], probs).collect()
+    assert len(empty) == 2
+    assert all(v is None for r in empty for v in tuple(r)[1:])
+
+
 def test_bpe_train_batched_matches_sequential(spark):
     """Round 7: bpe_train learns a BATCH of symbol-disjoint merges per
     pair-count pass (one Spark job per batch instead of per merge). The
