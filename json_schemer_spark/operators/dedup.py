@@ -553,8 +553,17 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("cluster_id")
+    # Round 7: seed labels with min(self, direct neighbours) — exactly
+    # what the old identity-seeded loop computed in its FIRST round, for
+    # the cost of the same one aggregation over the symmetrized edge
+    # list (every node appears as u) and none of the round's checkpoint +
+    # fixpoint-probe driver latency. The fixpoint (min reachable id) is
+    # unchanged; components of diameter ≤ 2 — the _bucket_pair_rows
+    # shape — now converge one blocking round earlier.
+    labels = (
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("__mn"))
+        .select("id", F.least(F.col("id"), F.col("__mn")).alias("cluster_id"))
     )
     prev_sum = None
     prev_labels = None
